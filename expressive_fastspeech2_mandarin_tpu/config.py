@@ -1,0 +1,363 @@
+"""Typed configuration for the framework.
+
+The reference drives everything from three untyped YAML dicts passed as
+``-p/-m/-t`` (reference: train.py:172-198). Here the same three-section shape
+is kept — ``PreprocessConfig`` / ``ModelConfig`` / ``TrainConfig`` — as typed
+dataclasses with loaders that accept the reference YAML files verbatim, so
+existing configs map 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    sampling_rate: int = 22050
+    max_wav_value: float = 32768.0
+
+
+@dataclass(frozen=True)
+class STFTConfig:
+    filter_length: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+
+
+@dataclass(frozen=True)
+class MelConfig:
+    n_mel_channels: int = 80
+    mel_fmin: float = 0.0
+    mel_fmax: float = 8000.0
+
+
+@dataclass(frozen=True)
+class VarianceFeatureConfig:
+    feature: str = "phoneme_level"  # or "frame_level"
+    normalization: bool = True
+
+
+@dataclass(frozen=True)
+class PathConfig:
+    corpus_path: str = ""
+    lexicon_path: str = ""
+    raw_path: str = ""
+    preprocessed_path: str = ""
+    sub_dir_name: str = ""
+    ckpt_path: str = ""
+    log_path: str = ""
+    result_path: str = ""
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    dataset: str = "ESD-Chinese-Singing-MFA"
+    path: PathConfig = field(default_factory=PathConfig)
+    val_size: int = 512
+    text_cleaners: tuple[str, ...] = ("basic_cleaners",)
+    language: str = "zh"
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    stft: STFTConfig = field(default_factory=STFTConfig)
+    mel: MelConfig = field(default_factory=MelConfig)
+    pitch: VarianceFeatureConfig = field(default_factory=VarianceFeatureConfig)
+    energy: VarianceFeatureConfig = field(default_factory=VarianceFeatureConfig)
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    encoder_layer: int = 4
+    encoder_head: int = 2
+    encoder_hidden: int = 256
+    decoder_layer: int = 6
+    decoder_head: int = 2
+    decoder_hidden: int = 256
+    conv_filter_size: int = 1024
+    conv_kernel_size: tuple[int, int] = (9, 1)
+    encoder_dropout: float = 0.2
+    decoder_dropout: float = 0.2
+
+
+@dataclass(frozen=True)
+class VariancePredictorConfig:
+    filter_size: int = 256
+    kernel_size: int = 3
+    dropout: float = 0.5
+
+
+@dataclass(frozen=True)
+class VarianceEmbeddingConfig:
+    pitch_quantization: str = "linear"  # "linear" | "log"
+    energy_quantization: str = "linear"
+    n_bins: int = 256
+
+
+@dataclass(frozen=True)
+class VocoderConfig:
+    model: str = "HiFi-GAN"  # "HiFi-GAN" | "MelGAN" | "griffin_lim"
+    speaker: str = "universal"
+    # HiFi-GAN V1 universal generator topology (reference: hifigan/config.json).
+    upsample_rates: tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: tuple[tuple[int, ...], ...] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5),
+    )
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    variance_predictor: VariancePredictorConfig = field(
+        default_factory=VariancePredictorConfig
+    )
+    variance_embedding: VarianceEmbeddingConfig = field(
+        default_factory=VarianceEmbeddingConfig
+    )
+    multi_speaker: bool = True
+    multi_emotion: bool = True
+    max_seq_len: int = 2000
+    vocoder: VocoderConfig = field(default_factory=VocoderConfig)
+    # Number of rows in the phoneme embedding. The reference sizes this from
+    # the *IPA* table even when training with pinyin IDs (see text/symbols.py
+    # VOCAB_SIZE note); keep 139 for checkpoint parity.
+    vocab_size: int = 139
+    n_speakers: int = 10
+    n_emotions: int = 5
+    n_arousals: int = 5
+    n_valences: int = 5
+    # Replicate the reference's energy-control quirk: the energy embedding is
+    # scaled by *p_control*, not e_control (reference: model/modules.py:122-126).
+    # Set False for the corrected behavior.
+    replicate_energy_control_bug: bool = True
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    batch_size: int = 4
+    betas: tuple[float, float] = (0.9, 0.98)
+    eps: float = 1e-9
+    weight_decay: float = 0.0
+    grad_clip_thresh: float = 1.0
+    grad_acc_step: int = 1
+    warm_up_step: int = 4000
+    anneal_steps: tuple[int, ...] = (300000, 400000, 500000)
+    anneal_rate: float = 0.3
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    total_step: int = 900000
+    log_step: int = 100
+    synth_step: int = 1000
+    val_step: int = 1000
+    save_step: int = 100000
+
+
+@dataclass(frozen=True)
+class BucketConfig:
+    """Static-shape length bucketing (TPU-specific; no reference equivalent).
+
+    XLA compiles one program per (src, mel) bucket pair; a small set of
+    buckets bounds recompilation while keeping padding waste low.
+    """
+
+    src_buckets: tuple[int, ...] = (32, 64, 96, 128)
+    mel_buckets: tuple[int, ...] = (250, 500, 1000, 1500, 2000)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit (TPU-specific)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    path: PathConfig = field(default_factory=PathConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    step: StepConfig = field(default_factory=StepConfig)
+    buckets: BucketConfig = field(default_factory=BucketConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 1234
+
+
+@dataclass(frozen=True)
+class Config:
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# ---------------------------------------------------------------------------
+# Reference-YAML loaders
+
+
+def _get(d: dict, *keys, default=None):
+    for k in keys:
+        if not isinstance(d, dict) or k not in d:
+            return default
+        d = d[k]
+    return d
+
+
+def preprocess_config_from_dict(d: dict[str, Any]) -> PreprocessConfig:
+    p = d.get("preprocessing", {})
+    return PreprocessConfig(
+        dataset=d.get("dataset", "ESD-Chinese-Singing-MFA"),
+        path=PathConfig(
+            corpus_path=_get(d, "path", "corpus_path", default=""),
+            lexicon_path=_get(d, "path", "lexicon_path", default=""),
+            raw_path=_get(d, "path", "raw_path", default=""),
+            preprocessed_path=_get(d, "path", "preprocessed_path", default=""),
+            sub_dir_name=_get(d, "path", "sub_dir_name", default=""),
+        ),
+        val_size=_get(p, "val_size", default=512),
+        text_cleaners=tuple(_get(p, "text", "text_cleaners", default=["basic_cleaners"])),
+        language=_get(p, "text", "language", default="zh"),
+        audio=AudioConfig(
+            sampling_rate=_get(p, "audio", "sampling_rate", default=22050),
+            max_wav_value=_get(p, "audio", "max_wav_value", default=32768.0),
+        ),
+        stft=STFTConfig(
+            filter_length=_get(p, "stft", "filter_length", default=1024),
+            hop_length=_get(p, "stft", "hop_length", default=256),
+            win_length=_get(p, "stft", "win_length", default=1024),
+        ),
+        mel=MelConfig(
+            n_mel_channels=_get(p, "mel", "n_mel_channels", default=80),
+            mel_fmin=float(_get(p, "mel", "mel_fmin", default=0)),
+            mel_fmax=float(_get(p, "mel", "mel_fmax", default=8000)),
+        ),
+        pitch=VarianceFeatureConfig(
+            feature=_get(p, "pitch", "feature", default="phoneme_level"),
+            normalization=_get(p, "pitch", "normalization", default=True),
+        ),
+        energy=VarianceFeatureConfig(
+            feature=_get(p, "energy", "feature", default="phoneme_level"),
+            normalization=_get(p, "energy", "normalization", default=True),
+        ),
+    )
+
+
+def model_config_from_dict(d: dict[str, Any], **overrides) -> ModelConfig:
+    t = d.get("transformer", {})
+    vp = d.get("variance_predictor", {})
+    ve = d.get("variance_embedding", {})
+    vo = d.get("vocoder", {})
+    kwargs: dict[str, Any] = dict(
+        transformer=TransformerConfig(
+            encoder_layer=t.get("encoder_layer", 4),
+            encoder_head=t.get("encoder_head", 2),
+            encoder_hidden=t.get("encoder_hidden", 256),
+            decoder_layer=t.get("decoder_layer", 6),
+            decoder_head=t.get("decoder_head", 2),
+            decoder_hidden=t.get("decoder_hidden", 256),
+            conv_filter_size=t.get("conv_filter_size", 1024),
+            conv_kernel_size=tuple(t.get("conv_kernel_size", (9, 1))),
+            encoder_dropout=t.get("encoder_dropout", 0.2),
+            decoder_dropout=t.get("decoder_dropout", 0.2),
+        ),
+        variance_predictor=VariancePredictorConfig(
+            filter_size=vp.get("filter_size", 256),
+            kernel_size=vp.get("kernel_size", 3),
+            dropout=vp.get("dropout", 0.5),
+        ),
+        variance_embedding=VarianceEmbeddingConfig(
+            pitch_quantization=ve.get("pitch_quantization", "linear"),
+            energy_quantization=ve.get("energy_quantization", "linear"),
+            n_bins=ve.get("n_bins", 256),
+        ),
+        multi_speaker=d.get("multi_speaker", True),
+        multi_emotion=d.get("multi_emotion", True),
+        max_seq_len=d.get("max_seq_len", 2000),
+        vocoder=VocoderConfig(
+            model=vo.get("model", "HiFi-GAN"),
+            speaker=vo.get("speaker", "universal"),
+        ),
+    )
+    kwargs.update(overrides)
+    return ModelConfig(**kwargs)
+
+
+def train_config_from_dict(d: dict[str, Any], **overrides) -> TrainConfig:
+    o = d.get("optimizer", {})
+    s = d.get("step", {})
+    kwargs: dict[str, Any] = dict(
+        path=PathConfig(
+            ckpt_path=_get(d, "path", "ckpt_path", default=""),
+            log_path=_get(d, "path", "log_path", default=""),
+            result_path=_get(d, "path", "result_path", default=""),
+        ),
+        optimizer=OptimizerConfig(
+            batch_size=o.get("batch_size", 4),
+            betas=tuple(o.get("betas", (0.9, 0.98))),
+            eps=float(o.get("eps", 1e-9)),
+            weight_decay=float(o.get("weight_decay", 0.0)),
+            grad_clip_thresh=float(o.get("grad_clip_thresh", 1.0)),
+            grad_acc_step=o.get("grad_acc_step", 1),
+            warm_up_step=o.get("warm_up_step", 4000),
+            anneal_steps=tuple(o.get("anneal_steps", (300000, 400000, 500000))),
+            anneal_rate=float(o.get("anneal_rate", 0.3)),
+        ),
+        step=StepConfig(
+            total_step=s.get("total_step", 900000),
+            log_step=s.get("log_step", 100),
+            synth_step=s.get("synth_step", 1000),
+            val_step=s.get("val_step", 1000),
+            save_step=s.get("save_step", 100000),
+        ),
+    )
+    kwargs.update(overrides)
+    return TrainConfig(**kwargs)
+
+
+def load_config(
+    preprocess_yaml: str,
+    model_yaml: str,
+    train_yaml: str,
+    **model_overrides,
+) -> Config:
+    """Load the reference-style config triplet from YAML file paths."""
+    with open(preprocess_yaml) as f:
+        p = yaml.safe_load(f)
+    with open(model_yaml) as f:
+        m = yaml.safe_load(f)
+    with open(train_yaml) as f:
+        t = yaml.safe_load(f)
+    pc = preprocess_config_from_dict(p)
+    # Size the model's speaker/emotion tables from the preprocessed metadata
+    # when present (reference: model/fastspeech2.py:30-67).
+    overrides = dict(model_overrides)
+    meta = pc.path.preprocessed_path
+    if meta and os.path.isdir(meta):
+        spk = os.path.join(meta, "speakers.json")
+        emo = os.path.join(meta, "emotions.json")
+        if os.path.exists(spk) and "n_speakers" not in overrides:
+            with open(spk) as f:
+                overrides["n_speakers"] = len(json.load(f))
+        if os.path.exists(emo) and "n_emotions" not in overrides:
+            with open(emo) as f:
+                raw = json.load(f)
+            overrides["n_emotions"] = len(raw["emotion_dict"])
+            overrides["n_arousals"] = len(raw["arousal_dict"])
+            overrides["n_valences"] = len(raw["valence_dict"])
+    return Config(
+        preprocess=pc,
+        model=model_config_from_dict(m, **overrides),
+        train=train_config_from_dict(t),
+    )
+
+
+def config_to_dict(cfg: Config) -> dict[str, Any]:
+    return dataclasses.asdict(cfg)
