@@ -1,0 +1,19 @@
+"""Training subsystem: loss, LR schedule, train/eval steps, checkpointing."""
+
+from .loss import LossReport, fastspeech2_loss
+from .schedule import make_optimizer, noam_schedule
+from .state import CheckpointManager, TrainState, create_train_state
+from .step import make_eval_step, make_synth_step, make_train_step
+
+__all__ = [
+    "LossReport",
+    "fastspeech2_loss",
+    "noam_schedule",
+    "make_optimizer",
+    "TrainState",
+    "create_train_state",
+    "CheckpointManager",
+    "make_train_step",
+    "make_eval_step",
+    "make_synth_step",
+]

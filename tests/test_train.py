@@ -1,0 +1,179 @@
+"""Training-stack tests: Noam schedule parity, loss parity vs the reference
+FastSpeech2Loss, and a convergence smoke test of the jitted train step on a
+virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from expressive_fastspeech2_mandarin_tpu.config import (
+    Config,
+    ModelConfig,
+    OptimizerConfig,
+    PreprocessConfig,
+    TrainConfig,
+    TransformerConfig,
+    VariancePredictorConfig,
+)
+from expressive_fastspeech2_mandarin_tpu.models import FastSpeech2
+from expressive_fastspeech2_mandarin_tpu.parallel import make_mesh, shard_batch
+from expressive_fastspeech2_mandarin_tpu.train import (
+    create_train_state,
+    fastspeech2_loss,
+    make_optimizer,
+    make_train_step,
+    noam_schedule,
+)
+from expressive_fastspeech2_mandarin_tpu.train.loss import LossReport
+
+from .ref_oracle import install_reference_path, reference_available
+
+
+def test_noam_schedule_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    install_reference_path()
+    from model.optimizer import ScheduledOptim
+
+    class Dummy(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = torch.nn.Parameter(torch.zeros(1))
+
+    train_cfg = {"optimizer": {
+        "betas": [0.9, 0.98], "eps": 1e-9, "weight_decay": 0.0,
+        "warm_up_step": 4000, "anneal_steps": [300000, 400000, 500000],
+        "anneal_rate": 0.3}}
+    model_cfg = {"transformer": {"encoder_hidden": 256}}
+    opt = ScheduledOptim(Dummy(), train_cfg, model_cfg, current_step=0)
+
+    sched = noam_schedule(256, 4000, (300000, 400000, 500000), 0.3)
+    for count in [0, 1, 100, 3999, 4000, 10000, 299999, 300000, 500001,
+                  899999]:
+        opt.current_step = count
+        opt._update_learning_rate()  # increments then computes: step=count+1
+        ref_lr = opt._optimizer.param_groups[0]["lr"]
+        np.testing.assert_allclose(float(sched(count)), ref_lr, rtol=1e-6)
+
+
+def _tiny_config():
+    model = ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+            decoder_hidden=32, conv_filter_size=64, encoder_head=2,
+            decoder_head=2),
+        variance_predictor=VariancePredictorConfig(filter_size=32),
+        n_speakers=4, n_emotions=3, n_arousals=3, n_valences=3,
+        max_seq_len=64,
+    )
+    return Config(preprocess=PreprocessConfig(), model=model,
+                  train=TrainConfig(optimizer=OptimizerConfig(warm_up_step=10)))
+
+
+def _synthetic_batch(rng, b=8, s=16, t=48):
+    durations = rng.integers(1, 4, (b, s)).astype(np.int32)
+    src_lens = np.full((b,), s, np.int32)
+    src_lens[::2] = s - 3
+    for i in range(b):
+        durations[i, src_lens[i]:] = 0
+    mel_lens = durations.sum(1).astype(np.int32)
+    return {
+        "speakers": rng.integers(0, 4, b).astype(np.int32),
+        "emotions": rng.integers(0, 3, b).astype(np.int32),
+        "arousals": rng.integers(0, 3, b).astype(np.int32),
+        "valences": rng.integers(0, 3, b).astype(np.int32),
+        "texts": rng.integers(4, 100, (b, s)).astype(np.int32),
+        "src_lens": src_lens,
+        "mels": rng.normal(-1, 1, (b, t, 80)).astype(np.float32),
+        "mel_lens": mel_lens,
+        "pitches": rng.normal(0, 1, (b, s)).astype(np.float32),
+        "energies": rng.normal(0, 1, (b, s)).astype(np.float32),
+        "durations": durations,
+    }
+
+
+def test_loss_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    install_reference_path()
+    from model.loss import FastSpeech2Loss
+
+    rng = np.random.default_rng(0)
+    b, s, t = 4, 10, 30
+    src_lens = np.array([10, 8, 7, 5])
+    mel_lens = np.array([30, 25, 20, 12])
+    src_masks = np.arange(s)[None, :] >= src_lens[:, None]
+    mel_masks = np.arange(t)[None, :] >= mel_lens[:, None]
+
+    mel_pred = rng.normal(size=(b, t, 80)).astype(np.float32)
+    postnet_pred = rng.normal(size=(b, t, 80)).astype(np.float32)
+    mel_tgt = rng.normal(size=(b, t, 80)).astype(np.float32)
+    p_pred = rng.normal(size=(b, s)).astype(np.float32)
+    e_pred = rng.normal(size=(b, s)).astype(np.float32)
+    logd_pred = rng.normal(size=(b, s)).astype(np.float32)
+    p_tgt = rng.normal(size=(b, s)).astype(np.float32)
+    e_tgt = rng.normal(size=(b, s)).astype(np.float32)
+    d_tgt = rng.integers(0, 5, (b, s))
+
+    pre_cfg = {"preprocessing": {
+        "pitch": {"feature": "phoneme_level"},
+        "energy": {"feature": "phoneme_level"}}}
+    ref_loss_fn = FastSpeech2Loss(pre_cfg, {})
+    inputs = [None] * 9 + [
+        torch.from_numpy(mel_tgt), None, None,
+        torch.from_numpy(p_tgt), torch.from_numpy(e_tgt),
+        torch.from_numpy(d_tgt)]
+    predictions = (
+        torch.from_numpy(mel_pred), torch.from_numpy(postnet_pred),
+        torch.from_numpy(p_pred), torch.from_numpy(e_pred),
+        torch.from_numpy(logd_pred), None,
+        torch.from_numpy(src_masks), torch.from_numpy(mel_masks),
+        None, None)
+    ref = [float(x) for x in ref_loss_fn(inputs, predictions)]
+
+    from expressive_fastspeech2_mandarin_tpu.models.fastspeech2 import (
+        FastSpeech2Output,
+    )
+
+    out = FastSpeech2Output(
+        mel=jnp.asarray(mel_pred), postnet_mel=jnp.asarray(postnet_pred),
+        pitch_predictions=jnp.asarray(p_pred),
+        energy_predictions=jnp.asarray(e_pred),
+        log_duration_predictions=jnp.asarray(logd_pred),
+        durations_rounded=jnp.asarray(d_tgt),
+        src_masks=jnp.asarray(src_masks), mel_masks=jnp.asarray(mel_masks),
+        src_lens=jnp.asarray(src_lens), mel_lens=jnp.asarray(mel_lens))
+    report: LossReport = fastspeech2_loss(
+        out, jnp.asarray(mel_tgt), jnp.asarray(p_tgt), jnp.asarray(e_tgt),
+        jnp.asarray(d_tgt))
+    ours = [float(x) for x in report]
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_converges_on_mesh():
+    cfg = _tiny_config()
+    model = FastSpeech2(cfg.model, cfg.preprocess)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+    state = create_train_state(params, bn_state, tx, jax.random.PRNGKey(1))
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    step_fn = make_train_step(model, tx, cfg, donate=False)
+    batch = shard_batch(mesh, _synthetic_batch(np.random.default_rng(0)))
+
+    losses = []
+    for _ in range(25):
+        state, report = step_fn(state, batch)
+        losses.append(float(report.total))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+    assert int(state.step) == 25
+    # BatchNorm running stats must have moved.
+    m0 = float(jnp.abs(state.bn_state["postnet"]["convs"][0]["mean"]).sum())
+    assert m0 > 0.0
