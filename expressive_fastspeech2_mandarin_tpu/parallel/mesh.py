@@ -39,6 +39,17 @@ def make_mesh(model_parallel: int = 1, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("data", "model"))
 
 
+def mesh_for_batch(batch_size: int, model_parallel: int = 1,
+                   devices=None) -> Mesh:
+    """Largest mesh whose data axis divides ``batch_size`` (small batches on
+    big meshes would otherwise fail to shard)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_model = model_parallel
+    n_data_max = len(devices) // n_model
+    n_data = max(d for d in range(1, n_data_max + 1) if batch_size % d == 0)
+    return make_mesh(n_model, devices[: n_data * n_model])
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -1,0 +1,158 @@
+"""Full training loop driver (reference: train.py:21-169).
+
+Periodic actions mirror the reference cadence: loss logging every
+``log_step``, full-val-set evaluation every ``val_step``, GT-vs-pred sample
+synthesis every ``synth_step``, checkpoint every ``save_step``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data import BucketedDataset, PreprocessedCorpus
+from ..models import FastSpeech2, param_count
+from ..parallel import shard_batch
+from ..parallel.mesh import mesh_for_batch
+from ..utils.logging import TrainLogger
+from ..utils.plotting import expand_by_duration, plot_mel, save_mel_plot
+from .loss import LossReport
+from .schedule import make_optimizer
+from .state import CheckpointManager, TrainState, create_train_state
+from .step import make_eval_step, make_synth_step, make_train_step
+
+
+def _report_dict(report: LossReport) -> dict[str, float]:
+    return {
+        "total_loss": float(report.total),
+        "mel_loss": float(report.mel),
+        "mel_postnet_loss": float(report.postnet_mel),
+        "pitch_loss": float(report.pitch),
+        "energy_loss": float(report.energy),
+        "duration_loss": float(report.duration),
+    }
+
+
+def evaluate(eval_step, state: TrainState, val_ds: BucketedDataset,
+             mesh) -> dict[str, float]:
+    """Sample-weighted loss means over the full val set
+    (reference: evaluate.py:18-55)."""
+    sums = np.zeros(6)
+    count = 0
+    for batch in val_ds.epoch(0, shuffle=False):
+        b = batch["speakers"].shape[0]
+        batch = shard_batch(mesh, batch)
+        report = eval_step(state.params, state.bn_state, batch)
+        sums += np.array([float(x) for x in report]) * b
+        count += b
+    means = sums / max(count, 1)
+    keys = ("total_loss", "mel_loss", "mel_postnet_loss", "pitch_loss",
+            "energy_loss", "duration_loss")
+    return dict(zip(keys, means))
+
+
+def train(cfg: Config, restore_step: int | None = None,
+          total_steps: int | None = None) -> TrainState:
+    corpus = PreprocessedCorpus(cfg.preprocess.path.preprocessed_path)
+    model = FastSpeech2(cfg.model, cfg.preprocess, corpus.stats)
+
+    mesh = mesh_for_batch(cfg.train.optimizer.batch_size,
+                          cfg.train.mesh.model_parallel_size)
+    n_hosts = jax.process_count()
+    train_ds = BucketedDataset(
+        corpus, "train.txt", cfg.train.optimizer.batch_size,
+        cfg.train.buckets, cfg.model.max_seq_len, drop_last=True,
+        seed=cfg.train.seed, num_shards=n_hosts,
+        shard_index=jax.process_index())
+    val_ds = BucketedDataset(
+        corpus, "val.txt", cfg.train.optimizer.batch_size,
+        cfg.train.buckets, cfg.model.max_seq_len, seed=cfg.train.seed)
+
+    params, bn_state = model.init(jax.random.PRNGKey(cfg.train.seed))
+    tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
+    state = create_train_state(params, bn_state, tx,
+                               jax.random.PRNGKey(cfg.train.seed + 1))
+    ckpt = CheckpointManager(cfg.train.path.ckpt_path or "output/ckpt")
+    if restore_step is not None or ckpt.latest_step() is not None:
+        state = ckpt.restore(state, restore_step)
+        print(f"restored checkpoint at step {int(state.step)}")
+
+    logger = TrainLogger(os.path.join(cfg.train.path.log_path or "output/log",
+                                      "train"))
+    val_logger = TrainLogger(os.path.join(
+        cfg.train.path.log_path or "output/log", "val"), use_tensorboard=False)
+
+    train_step = make_train_step(model, tx, cfg)
+    eval_step = make_eval_step(model, cfg)
+
+    total = total_steps or cfg.train.step.total_step
+    log_every = cfg.train.step.log_step
+    val_every = cfg.train.step.val_step
+    synth_every = cfg.train.step.synth_step
+    save_every = cfg.train.step.save_step
+    print(f"training: {param_count(state.params)/1e6:.1f}M params, "
+          f"{len(train_ds)} utterances, mesh {mesh.devices.shape}")
+
+    step = int(state.step)
+    epoch = 0
+    while step < total:
+        for batch in train_ds.epoch(epoch):
+            batch = shard_batch(mesh, batch)
+            state, report = train_step(state, batch)
+            step = int(state.step)
+            logger.tick()
+
+            if step % log_every == 0:
+                d = _report_dict(report)
+                d["steps_per_sec"] = logger.steps_per_sec
+                logger.log_losses(step, d)
+            if step % val_every == 0:
+                val_logger.log_losses(step, evaluate(eval_step, state,
+                                                     val_ds, mesh))
+            if step % synth_every == 0:
+                _synth_sample(model, cfg, state, val_ds, corpus, logger, step)
+            if step % save_every == 0:
+                ckpt.save(step, state)
+            if step >= total:
+                break
+        epoch += 1
+
+    ckpt.save(step, state)
+    logger.close()
+    val_logger.close()
+    return state
+
+
+def _synth_sample(model, cfg, state, val_ds, corpus, logger, step):
+    """One GT-vs-predicted spectrogram figure (reference:
+    utils/tools.py:170-222); audio via Griffin-Lim when no vocoder."""
+    try:
+        batch = next(val_ds.epoch(0, shuffle=False))
+        synth = make_synth_step(model, cfg, max_mel_len=batch["mels"].shape[1])
+        mel_pred, mel_lens, durations = synth(state.params, state.bn_state,
+                                              batch)
+        i = 0
+        t_pred = int(mel_lens[i])
+        t_gt = int(batch["mel_lens"][i])
+        s = int(batch["src_lens"][i])
+        pitch = expand_by_duration(batch["pitches"][i, :s],
+                                   batch["durations"][i, :s])
+        energy = expand_by_duration(batch["energies"][i, :s],
+                                    batch["durations"][i, :s])
+        stats = corpus.stats["pitch"] + corpus.stats["energy"][:2]
+        fig = plot_mel(
+            [(np.asarray(mel_pred[i, :max(t_pred, 1)]).T, pitch, energy),
+             (batch["mels"][i, :t_gt].T, pitch, energy)],
+            stats, ["Synthesized", "Ground truth"])
+        logger.log_figure("val/spectrogram", fig, step)
+        out_dir = os.path.join(cfg.train.path.result_path or "output/result",
+                               "train_samples")
+        os.makedirs(out_dir, exist_ok=True)
+        save_mel_plot(os.path.join(out_dir, f"step{step}.png"),
+                      [(np.asarray(mel_pred[i, :max(t_pred, 1)]).T, None, None)],
+                      None, ["Synthesized"])
+    except Exception as e:  # sample synthesis must never kill training
+        print(f"synth sample at step {step} failed: {e}")

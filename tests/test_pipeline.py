@@ -1,0 +1,171 @@
+"""Full-pipeline integration test on a synthetic corpus:
+raw wavs + TextGrids → Preprocessor → BucketedDataset → a few train steps
+→ Synthesizer (Griffin-Lim) → wav files. CPU, tiny model."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from expressive_fastspeech2_mandarin_tpu.config import (
+    BucketConfig,
+    Config,
+    MeshConfig,
+    ModelConfig,
+    OptimizerConfig,
+    PathConfig,
+    PreprocessConfig,
+    StepConfig,
+    TrainConfig,
+    TransformerConfig,
+    VariancePredictorConfig,
+    VocoderConfig,
+)
+from expressive_fastspeech2_mandarin_tpu.preprocess import (
+    Interval,
+    Preprocessor,
+    TextGrid,
+    Tier,
+    read_textgrid,
+    write_textgrid,
+)
+from expressive_fastspeech2_mandarin_tpu.utils.wav import save_wav
+
+SR = 22050
+PHONES = ["b", "a", "n", "h", "ao"]
+
+
+def _make_wav(rng, duration_s, f0):
+    t = np.arange(int(SR * duration_s)) / SR
+    sig = 0.4 * np.sin(2 * np.pi * f0 * t)
+    sig += 0.2 * np.sin(2 * np.pi * 2 * f0 * t)
+    sig += 0.02 * rng.standard_normal(len(t))
+    return np.clip(sig, -1, 1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    raw = root / "raw_data"
+    pre = root / "preprocessed"
+    rng = np.random.default_rng(0)
+
+    filelist = []
+    for spk_i, speaker in enumerate(["0001", "0002"]):
+        spk_dir = raw / speaker
+        os.makedirs(spk_dir)
+        os.makedirs(pre / "TextGrid" / speaker)
+        for k in range(6):
+            base = f"{speaker}_{k:06d}"
+            dur_s = 0.8 + 0.2 * k / 6
+            wav = _make_wav(rng, dur_s, 150 + 40 * spk_i + 10 * k)
+            save_wav(str(spk_dir / f"{base}.wav"), wav, SR)
+            with open(spk_dir / f"{base}.lab", "w") as f:
+                f.write("ban hao\n")
+            # TextGrid: leading silence + 5 phones + trailing silence.
+            n_ph = len(PHONES)
+            seg = (dur_s - 0.2) / n_ph
+            intervals = [Interval(0.0, 0.1, "sil")]
+            for i, p in enumerate(PHONES):
+                intervals.append(
+                    Interval(0.1 + i * seg, 0.1 + (i + 1) * seg, p))
+            intervals.append(Interval(dur_s - 0.1, dur_s, "sp"))
+            tg = TextGrid(0.0, dur_s, [Tier("phones", intervals)])
+            write_textgrid(tg, str(pre / "TextGrid" / speaker /
+                                   f"{base}.TextGrid"))
+            emo = ["Happy", "Sad"][k % 2]
+            aro = {"Happy": "0.8", "Sad": "0.3"}[emo]
+            val = {"Happy": "0.8", "Sad": "0.2"}[emo]
+            filelist.append(
+                f"{base}|ban hao|{speaker}|T|default|{emo}|{aro}|{val}")
+    with open(raw / "filelist.txt", "w") as f:
+        f.write("\n".join(filelist) + "\n")
+    with open(raw / "speaker_info.txt", "w") as f:
+        f.write("0001|zh|f\n0002|zh|m\n")
+
+    cfg = PreprocessConfig(
+        path=PathConfig(raw_path=str(raw), preprocessed_path=str(pre)),
+        val_size=2,
+    )
+    return cfg, str(pre)
+
+
+def test_textgrid_roundtrip(tmp_path):
+    tg = TextGrid(0.0, 1.0, [Tier("phones", [
+        Interval(0.0, 0.5, "b"), Interval(0.5, 1.0, 'a "quoted"')])])
+    path = str(tmp_path / "x.TextGrid")
+    write_textgrid(tg, path)
+    back = read_textgrid(path)
+    tier = back.get_tier_by_name("phones")
+    assert len(tier.intervals) == 2
+    assert tier.intervals[1].text == 'a "quoted"'
+    assert abs(tier.intervals[1].end - 1.0) < 1e-6
+
+
+def test_full_pipeline(corpus, tmp_path):
+    pre_cfg, pre_dir = corpus
+
+    # 1. Feature extraction.
+    out = Preprocessor(pre_cfg, num_workers=1).build_from_path(val_size=2)
+    assert len(out) == 12
+    for sub in ("mel", "pitch", "energy", "duration", "stats.json",
+                "speakers.json", "emotions.json", "train.txt", "val.txt"):
+        assert os.path.exists(os.path.join(pre_dir, sub))
+
+    mel = np.load(os.path.join(
+        pre_dir, "mel", os.listdir(os.path.join(pre_dir, "mel"))[0]))
+    assert mel.shape[1] == 80
+    dur_dir = os.path.join(pre_dir, "duration")
+    d = np.load(os.path.join(dur_dir, os.listdir(dur_dir)[0]))
+    assert len(d) == 5  # silences trimmed
+    p = np.load(os.path.join(
+        pre_dir, "pitch", os.listdir(os.path.join(pre_dir, "pitch"))[0]))
+    assert len(p) == 5  # phoneme-level
+
+    # 2. Train a few steps.
+    cfg = Config(
+        preprocess=pre_cfg,
+        model=ModelConfig(
+            transformer=TransformerConfig(
+                encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+                decoder_hidden=32, conv_filter_size=64,
+                encoder_head=2, decoder_head=2),
+            variance_predictor=VariancePredictorConfig(filter_size=32),
+            vocoder=VocoderConfig(),
+            n_speakers=2, n_emotions=2, n_arousals=2, n_valences=2,
+            max_seq_len=256),
+        train=TrainConfig(
+            path=PathConfig(ckpt_path=str(tmp_path / "ckpt"),
+                            log_path=str(tmp_path / "log"),
+                            result_path=str(tmp_path / "result")),
+            optimizer=OptimizerConfig(batch_size=2, warm_up_step=10),
+            step=StepConfig(total_step=6, log_step=2, synth_step=4,
+                            val_step=3, save_step=6),
+            buckets=BucketConfig(src_buckets=(8, 16), mel_buckets=(128, 256)),
+            mesh=MeshConfig(),
+        ),
+    )
+    from expressive_fastspeech2_mandarin_tpu.train.loop import train
+
+    state = train(cfg, total_steps=6)
+    assert int(state.step) == 6
+    assert os.path.exists(str(tmp_path / "ckpt"))
+    assert os.path.exists(str(tmp_path / "log" / "train" / "metrics.jsonl"))
+
+    # 3. Synthesize from the trained (briefly) checkpoint via Griffin-Lim.
+    from expressive_fastspeech2_mandarin_tpu.synth import Synthesizer
+
+    synth = Synthesizer.from_orbax(cfg, str(tmp_path / "ckpt"),
+                                   preprocessed_path=pre_dir)
+    results = synth.synthesize(
+        ["{b a n}", "{h ao}"], ["0001", "0002"], ["Happy", "Sad"],
+        vocoder="griffin_lim", max_mel_len=250)
+    paths = synth.save_results(results, str(tmp_path / "result"))
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.exists(p)
+    # Durations from an untrained model may round to zero; shapes must hold.
+    assert results[0].mel.shape[0] >= 0
+    assert results[0].mel.shape[1] if results[0].mel.size else True
