@@ -64,10 +64,16 @@ def _synth_bench(jax, iters=10, b=8, s=64, t=1000, hop=256, sr=22050):
         init_generator,
     )
 
+    from expressive_fastspeech2_mandarin_tpu.models.hifigan import (
+        pack_generator_params,
+    )
+
     cfg = Config()
     model = FastSpeech2(cfg.model, cfg.preprocess)
     params, bn_state = model.init(jax.random.PRNGKey(0))
-    voc = init_generator(jax.random.PRNGKey(1), cfg.model.vocoder)
+    voc = pack_generator_params(
+        init_generator(jax.random.PRNGKey(1), cfg.model.vocoder),
+        cfg.model.vocoder)
 
     rng = np.random.default_rng(0)
     durations = np.full((b, s), t // s, np.int32)

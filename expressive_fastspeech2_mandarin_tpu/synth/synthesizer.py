@@ -28,6 +28,7 @@ from ..interop.torch_ckpt import (
     load_torch_state_dict,
 )
 from ..models import FastSpeech2, apply_generator
+from ..models.hifigan import pack_generator_params
 from ..preprocess.esd import EMOTION_AROUSAL_VALENCE
 from ..text import chinese_text_to_ids
 from ..utils.wav import save_wav
@@ -72,7 +73,9 @@ class Synthesizer:
         self.params = jax.tree.map(jnp.asarray, params)
         self.bn_state = jax.tree.map(jnp.asarray, bn_state)
         self.vocoder_params = (
-            jax.tree.map(jnp.asarray, vocoder_params)
+            jax.tree.map(jnp.asarray,
+                         pack_generator_params(vocoder_params,
+                                               cfg.model.vocoder))
             if vocoder_params is not None else None)
         self.speaker_map = speaker_map or {}
         self.emotion_maps = emotion_maps or {}

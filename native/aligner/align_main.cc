@@ -1,0 +1,348 @@
+// efs2-aligner: native Mandarin forced aligner.
+//
+// Replaces the reference's vendored MFA + Kaldi subsystem for the TTS data
+// path (SURVEY.md §2.5, §3.4): ingests a raw_data corpus
+// (<speaker>/<utt>.wav + .lab pinyin transcripts), trains monophone
+// GMM-HMMs by Viterbi-EM from a flat start, force-aligns every utterance,
+// and writes MFA-style TextGrids with a "phones" interval tier that the
+// Python Preprocessor consumes unchanged.
+//
+// Usage:
+//   efs2-aligner align --corpus raw_data --out preprocessed/TextGrid \
+//       [--iters 8] [--mix-up 4] [--threads N] [--model am.bin]
+//   efs2-aligner train --corpus ... --model am.bin [...]   (train only)
+//
+// Multithreading: utterances fan out over a thread pool per EM iteration,
+// mirroring MFA's multiprocessing job runner (MFA/utils.py:653-760) without
+// a database or worker processes.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <dirent.h>
+#include <fstream>
+#include <functional>
+#include <sstream>
+#include <mutex>
+#include <string>
+#include <sys/stat.h>
+#include <thread>
+#include <vector>
+
+#include "gmm.h"
+#include "hmm.h"
+#include "mfcc.h"
+#include "pinyin.h"
+#include "wav.h"
+
+namespace efs2 {
+namespace {
+
+struct Utterance {
+  std::string speaker;
+  std::string basename;
+  std::string wav_path;
+  std::vector<std::vector<std::string>> words;  // phones per syllable
+  // Filled during processing:
+  FeatureMatrix feats;
+  std::vector<Segment> segments;
+  float duration_s = 0.0f;
+};
+
+std::vector<std::string> ListDir(const std::string& path) {
+  std::vector<std::string> out;
+  DIR* d = opendir(path.c_str());
+  if (!d) return out;
+  while (dirent* e = readdir(d)) {
+    std::string name = e->d_name;
+    if (name != "." && name != "..") out.push_back(name);
+  }
+  closedir(d);
+  std::sort(out.begin(), out.end());
+  return out;
+}
+
+bool IsDir(const std::string& path) {
+  struct stat st;
+  return stat(path.c_str(), &st) == 0 && S_ISDIR(st.st_mode);
+}
+
+void MkDirs(const std::string& path) {
+  std::string cur;
+  for (size_t i = 0; i < path.size(); ++i) {
+    cur += path[i];
+    if (path[i] == '/' || i + 1 == path.size()) mkdir(cur.c_str(), 0755);
+  }
+}
+
+std::vector<Utterance> ScanCorpus(const std::string& corpus) {
+  std::vector<Utterance> utts;
+  for (const auto& speaker : ListDir(corpus)) {
+    std::string spk_dir = corpus + "/" + speaker;
+    if (!IsDir(spk_dir)) continue;
+    for (const auto& f : ListDir(spk_dir)) {
+      if (f.size() < 5 || f.substr(f.size() - 4) != ".wav") continue;
+      std::string base = f.substr(0, f.size() - 4);
+      std::string lab = spk_dir + "/" + base + ".lab";
+      std::ifstream in(lab);
+      if (!in) continue;
+      std::string text, line;
+      while (std::getline(in, line)) text += line + " ";
+      Utterance u;
+      u.speaker = speaker;
+      u.basename = base;
+      u.wav_path = spk_dir + "/" + f;
+      std::istringstream iss(text);
+      std::string syl;
+      while (iss >> syl) {
+        auto ph = PinyinToPhonemes(syl);
+        if (!ph.empty()) u.words.push_back(ph);
+      }
+      if (!u.words.empty()) utts.push_back(std::move(u));
+    }
+  }
+  return utts;
+}
+
+// Build segment sequence: optional sil at edges, optional sp between words.
+void BuildSegments(AcousticModel* model, Utterance* u) {
+  int sil = model->AddPhone("sil");
+  int sp = model->AddPhone("sp");
+  u->segments.clear();
+  u->segments.push_back({sil, true});
+  for (size_t w = 0; w < u->words.size(); ++w) {
+    if (w > 0) u->segments.push_back({sp, true});
+    for (const auto& p : u->words[w])
+      u->segments.push_back({model->AddPhone(p), false});
+  }
+  u->segments.push_back({sil, true});
+}
+
+void ParallelFor(int n, int threads, const std::function<void(int, int)>& fn) {
+  std::atomic<int> next(0);
+  std::vector<std::thread> pool;
+  for (int w = 0; w < threads; ++w) {
+    pool.emplace_back([&, w] {
+      for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i, w);
+    });
+  }
+  for (auto& t : pool) t.join();
+}
+
+void WriteTextGridFile(const std::string& path, const Utterance& u,
+                       const AcousticModel& model,
+                       const std::vector<AlignedSegment>& segs,
+                       float frame_shift_s) {
+  std::ofstream out(path);
+  float xmax = u.duration_s;
+  int n = 0;
+  for (const auto& s : segs)
+    if (s.end_frame > s.start_frame) ++n;
+  out << "File type = \"ooTextFile\"\nObject class = \"TextGrid\"\n\n";
+  out << "xmin = 0.000000\nxmax = " << xmax << "\n";
+  out << "tiers? <exists>\nsize = 1\nitem []:\n";
+  out << "    item [1]:\n        class = \"IntervalTier\"\n";
+  out << "        name = \"phones\"\n        xmin = 0.000000\n";
+  out << "        xmax = " << xmax << "\n";
+  // Fill gaps with "" intervals so the tier tiles [0, xmax].
+  struct Iv { float s, e; std::string t; };
+  std::vector<Iv> ivs;
+  float pos = 0.0f;
+  for (const auto& s : segs) {
+    if (s.end_frame <= s.start_frame) continue;
+    float a = s.start_frame * frame_shift_s;
+    float b = std::min(s.end_frame * frame_shift_s, xmax);
+    if (a > pos + 1e-4f) ivs.push_back({pos, a, ""});
+    ivs.push_back({a, b, model.phones[s.phone]});
+    pos = b;
+  }
+  if (pos < xmax - 1e-4f) ivs.push_back({pos, xmax, ""});
+  if (!ivs.empty()) ivs.back().e = xmax;
+  out << "        intervals: size = " << ivs.size() << "\n";
+  for (size_t i = 0; i < ivs.size(); ++i) {
+    out << "        intervals [" << (i + 1) << "]:\n";
+    out << "            xmin = " << ivs[i].s << "\n";
+    out << "            xmax = " << ivs[i].e << "\n";
+    out << "            text = \"" << ivs[i].t << "\"\n";
+  }
+}
+
+int Run(int argc, char** argv) {
+  std::string mode = argc > 1 ? argv[1] : "";
+  std::string corpus, out_dir, model_path;
+  int iters = 8, threads = int(std::thread::hardware_concurrency());
+  int mix_up = 4;
+  for (int i = 2; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() { return std::string(i + 1 < argc ? argv[++i] : ""); };
+    if (a == "--corpus") corpus = next();
+    else if (a == "--out") out_dir = next();
+    else if (a == "--model") model_path = next();
+    else if (a == "--iters") iters = std::stoi(next());
+    else if (a == "--mix-up") mix_up = std::stoi(next());
+    else if (a == "--threads") threads = std::stoi(next());
+  }
+  if ((mode != "align" && mode != "train") || corpus.empty() ||
+      (mode == "align" && out_dir.empty())) {
+    std::fprintf(stderr,
+                 "usage: efs2-aligner {align|train} --corpus DIR "
+                 "[--out DIR] [--model FILE] [--iters N] [--mix-up M] "
+                 "[--threads N]\n");
+    return 2;
+  }
+  threads = std::max(threads, 1);
+
+  auto utts = ScanCorpus(corpus);
+  std::fprintf(stderr, "corpus: %zu utterances\n", utts.size());
+  if (utts.empty()) return 1;
+
+  AcousticModel model;
+  for (auto& u : utts) BuildSegments(&model, &u);
+  const int n_pdfs = int(model.gmms.size());
+  std::fprintf(stderr, "phones: %zu, pdfs: %d\n", model.phones.size(), n_pdfs);
+
+  // Feature extraction (parallel).
+  MfccConfig mfcc_cfg;
+  std::atomic<int> failed(0);
+  ParallelFor(int(utts.size()), threads, [&](int i, int) {
+    Wave wav;
+    if (!ReadWav(utts[i].wav_path, &wav)) {
+      failed.fetch_add(1);
+      return;
+    }
+    utts[i].duration_s = float(wav.samples.size()) / wav.sample_rate;
+    ComputeMfcc(wav.samples, wav.sample_rate, mfcc_cfg, &utts[i].feats);
+  });
+  std::fprintf(stderr, "features done (%d failed)\n", failed.load());
+  const float shift_s = mfcc_cfg.frame_shift_ms / 1000.0f;
+  const int dim = mfcc_cfg.deltas ? mfcc_cfg.num_ceps * 3 : mfcc_cfg.num_ceps;
+
+  bool have_model = false;
+  if (!model_path.empty()) {
+    std::vector<std::string> phones;
+    std::vector<DiagGmm> gmms;
+    if (ReadGmms(model_path, &phones, &gmms)) {
+      // Remap to current phone table.
+      AcousticModel loaded;
+      for (const auto& p : phones) loaded.AddPhone(p);
+      loaded.gmms = gmms;
+      bool ok = true;
+      for (const auto& p : model.phones)
+        if (!loaded.phone_ids.count(p)) ok = false;
+      if (ok) {
+        for (size_t ph = 0; ph < model.phones.size(); ++ph) {
+          int lp = loaded.phone_ids[model.phones[ph]];
+          for (int k = 0; k < kStatesPerPhone; ++k)
+            model.gmms[model.PdfId(int(ph), k)] =
+                loaded.gmms[loaded.PdfId(lp, k)];
+        }
+        have_model = true;
+        std::fprintf(stderr, "loaded model %s\n", model_path.c_str());
+      }
+    }
+  }
+
+  if (!have_model) {
+    // ---- Flat start: global mean/var, then uniform-alignment stats.
+    std::vector<double> gsum(dim, 0), gsum2(dim, 0);
+    double gcount = 0;
+    for (auto& u : utts)
+      for (int t = 0; t < u.feats.rows; ++t) {
+        const float* x = u.feats.Row(t);
+        for (int d = 0; d < dim; ++d) {
+          gsum[d] += x[d];
+          gsum2[d] += double(x[d]) * x[d];
+        }
+        gcount += 1;
+      }
+    std::vector<float> gmean(dim), gvar(dim);
+    for (int d = 0; d < dim; ++d) {
+      gmean[d] = float(gsum[d] / gcount);
+      gvar[d] = float(gsum2[d] / gcount - gmean[d] * gmean[d]);
+    }
+    for (auto& g : model.gmms) g.Init(dim, gmean.data(), gvar.data());
+
+    // ---- Viterbi-EM iterations.
+    for (int iter = 0; iter < iters; ++iter) {
+      std::vector<GmmAccumulator> accs(threads);
+      for (auto& a : accs) {
+        a.dim = dim;
+      }
+      std::vector<std::vector<GmmAccumulator>> worker_accs(threads);
+      for (auto& wa : worker_accs) {
+        wa.resize(n_pdfs);
+        for (int p = 0; p < n_pdfs; ++p)
+          wa[p].Resize(model.gmms[p].NumComps(), dim);
+      }
+      std::atomic<long long> frames_done(0);
+      double total_ll = 0;
+      std::mutex ll_mu;
+      ParallelFor(int(utts.size()), threads, [&](int i, int w) {
+        auto& u = utts[i];
+        if (u.feats.rows < int(u.segments.size())) return;
+        std::vector<AlignedSegment> segs;
+        if (iter == 0) {
+          FlatStartAlign(u.segments, u.feats.rows, &segs);
+        } else {
+          float ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
+          if (!std::isfinite(ll)) return;
+          std::lock_guard<std::mutex> lk(ll_mu);
+          total_ll += ll;
+        }
+        std::vector<int> pdfs;
+        AlignmentToPdfIds(model, segs, &pdfs);
+        for (int t = 0; t < int(pdfs.size()) && t < u.feats.rows; ++t)
+          if (pdfs[t] >= 0)
+            worker_accs[w][pdfs[t]].Add(model.gmms[pdfs[t]], u.feats.Row(t),
+                                        1.0f);
+        frames_done.fetch_add(u.feats.rows);
+      });
+      for (int p = 0; p < n_pdfs; ++p) {
+        for (int w = 1; w < threads; ++w)
+          worker_accs[0][p].Merge(worker_accs[w][p]);
+        UpdateGmm(worker_accs[0][p], 0.01f, &model.gmms[p]);
+      }
+      // Mixture splitting schedule: double comps until mix_up.
+      if (model.gmms[0].NumComps() < mix_up &&
+          iter >= 1 && iter % 2 == 1) {
+        for (auto& g : model.gmms) g.Split();
+      }
+      std::fprintf(stderr,
+                   "iter %d: %lld frames, avg ll/frame %.3f, comps %d\n",
+                   iter, frames_done.load(),
+                   iter ? total_ll / std::max(1.0, double(frames_done.load()))
+                        : 0.0,
+                   model.gmms[0].NumComps());
+    }
+    if (!model_path.empty()) WriteGmms(model_path, model.phones, model.gmms);
+  }
+
+  if (mode == "train") return 0;
+
+  // ---- Final alignment + TextGrid export.
+  std::atomic<int> aligned(0), skipped(0);
+  ParallelFor(int(utts.size()), threads, [&](int i, int) {
+    auto& u = utts[i];
+    std::vector<AlignedSegment> segs;
+    float ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
+    if (!std::isfinite(ll)) {
+      skipped.fetch_add(1);
+      return;
+    }
+    std::string dir = out_dir + "/" + u.speaker;
+    MkDirs(dir);
+    WriteTextGridFile(dir + "/" + u.basename + ".TextGrid", u, model, segs,
+                      shift_s);
+    aligned.fetch_add(1);
+  });
+  std::fprintf(stderr, "aligned %d utterances (%d skipped)\n", aligned.load(),
+               skipped.load());
+  return 0;
+}
+
+}  // namespace
+}  // namespace efs2
+
+int main(int argc, char** argv) { return efs2::Run(argc, argv); }

@@ -1,0 +1,83 @@
+"""Native C++ aligner end-to-end test: build, train+align a synthetic
+corpus with known boundaries, verify TextGrids + accuracy."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from expressive_fastspeech2_mandarin_tpu.preprocess import read_textgrid
+from expressive_fastspeech2_mandarin_tpu.utils.wav import save_wav
+
+SR = 16000
+FREQ = {"b": 300, "a": 800, "n": 400, "h": 1800, "ao": 600}
+
+
+def _render(rng, phones, durs):
+    parts = [np.zeros(int(SR * 0.08))]
+    for p, d in zip(phones, durs):
+        t = np.arange(int(SR * d)) / SR
+        f = FREQ[p]
+        sig = (0.4 * np.sin(2 * np.pi * f * t)
+               + 0.2 * np.sin(2 * np.pi * 2.1 * f * t)
+               + 0.01 * rng.standard_normal(len(t)))
+        env = np.minimum(1, np.minimum(np.arange(len(t)) / 400,
+                                       (len(t) - np.arange(len(t))) / 400))
+        parts.append(sig * env)
+    parts.append(np.zeros(int(SR * 0.08)))
+    return np.concatenate(parts).astype(np.float32)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_native_aligner_end_to_end(tmp_path):
+    from expressive_fastspeech2_mandarin_tpu.align import (
+        align_corpus,
+        ensure_built,
+    )
+
+    ensure_built()
+
+    rng = np.random.default_rng(0)
+    corpus = tmp_path / "corpus" / "0001"
+    os.makedirs(corpus)
+    truth = {}
+    for i in range(30):
+        words = [("b", "a", "n"), ("h", "ao")]
+        phones = [p for w in words for p in w]
+        durs = rng.uniform(0.08, 0.2, len(phones))
+        wav = _render(rng, phones, durs)
+        base = f"0001_{i:06d}"
+        save_wav(str(corpus / f"{base}.wav"), wav, SR)
+        with open(corpus / f"{base}.lab", "w") as f:
+            f.write("ban hao\n")
+        t0, bounds = 0.08, []
+        for p, d in zip(phones, durs):
+            bounds.append((p, t0, t0 + d))
+            t0 += d
+        truth[base] = bounds
+
+    model_path = str(tmp_path / "am.bin")
+    log = align_corpus(str(tmp_path / "corpus"), str(tmp_path / "tg"),
+                       model_path=model_path, iters=6, threads=2)
+    assert "aligned 30 utterances" in log
+    assert os.path.exists(model_path)
+
+    errs = []
+    for base, bounds in truth.items():
+        tg = read_textgrid(str(tmp_path / "tg" / "0001" / f"{base}.TextGrid"))
+        tier = tg.get_tier_by_name("phones")
+        pred = [(iv.text, iv.start, iv.end) for iv in tier.intervals
+                if iv.text not in ("", "sil", "sp")]
+        assert [p for p, _, _ in pred] == [p for p, _, _ in bounds]
+        for (_, ta, tb), (_, pa, pb) in zip(bounds, pred):
+            errs += [abs(ta - pa), abs(tb - pb)]
+    mean_err = float(np.mean(errs))
+    assert mean_err < 0.04, f"mean boundary error {mean_err*1000:.1f}ms"
+
+    # Reuse the saved model: align again without retraining.
+    log2 = align_corpus(str(tmp_path / "corpus"), str(tmp_path / "tg2"),
+                        model_path=model_path, threads=2)
+    assert "loaded model" in log2
+    assert "aligned 30 utterances" in log2
