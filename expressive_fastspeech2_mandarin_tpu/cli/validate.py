@@ -1,0 +1,177 @@
+"""Validation / diagnostics CLI — the consolidated equivalent of the
+reference's script pile (reference: validate_textgrid.py, check_*.py,
+diagnose_synthesis.py, validate_model.py; SURVEY.md §2.4).
+
+Subcommands:
+  textgrids  — alignment QA: coverage fraction, phone inventory, durations
+               (writes textgrid_quality_report.json)
+  data       — preprocessed-corpus consistency: phones vs durations vs mel
+               lengths, vocabulary coverage
+  checkpoint — checkpoint health: restore, parameter stats, NaN scan
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def validate_textgrids(tg_root: str, report_path: str | None) -> dict:
+    from ..preprocess import read_textgrid
+
+    report = {"files": 0, "errors": [], "phone_types": set(),
+              "coverage_sum": 0.0, "total_intervals": 0}
+    for speaker in sorted(os.listdir(tg_root)):
+        spk = os.path.join(tg_root, speaker)
+        if not os.path.isdir(spk):
+            continue
+        for name in sorted(os.listdir(spk)):
+            if not name.endswith(".TextGrid"):
+                continue
+            path = os.path.join(spk, name)
+            try:
+                tg = read_textgrid(path)
+                tier = tg.get_tier_by_name("phones")
+            except Exception as e:
+                report["errors"].append(f"{path}: {e}")
+                continue
+            covered = sum(iv.end - iv.start for iv in tier.intervals
+                          if iv.text.strip())
+            span = tg.xmax - tg.xmin
+            report["coverage_sum"] += covered / span if span > 0 else 0.0
+            report["total_intervals"] += len(tier.intervals)
+            for iv in tier.intervals:
+                if iv.text.strip():
+                    report["phone_types"].add(iv.text)
+            report["files"] += 1
+    out = {
+        "files_validated": report["files"],
+        "avg_coverage": (report["coverage_sum"] / report["files"]
+                         if report["files"] else 0.0),
+        "phone_type_count": len(report["phone_types"]),
+        "phone_types": sorted(report["phone_types"]),
+        "total_intervals": report["total_intervals"],
+        "errors": report["errors"],
+    }
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump(out, f, indent=2, ensure_ascii=False)
+    return out
+
+
+def validate_data(preprocessed_path: str) -> dict:
+    import numpy as np
+
+    from ..data import PreprocessedCorpus
+    from ..text import symbols
+
+    corpus = PreprocessedCorpus(preprocessed_path)
+    problems = []
+    n_checked = 0
+    unknown_phones: set[str] = set()
+    for split in ("train.txt", "val.txt"):
+        try:
+            utts = corpus.metadata(split)
+        except FileNotFoundError:
+            continue
+        for utt in utts:
+            phones = utt.phone_text.strip("{}").split()
+            for p in phones:
+                if p not in symbols.PINYIN_TO_ID:
+                    unknown_phones.add(p)
+            try:
+                d = corpus.duration(utt)
+                mel = corpus.mel(utt)
+                pitch = corpus.pitch(utt)
+                energy = corpus.energy(utt)
+            except FileNotFoundError as e:
+                problems.append(f"{utt.basename}: missing npy ({e})")
+                continue
+            known = [p for p in phones if p in symbols.PINYIN_TO_ID]
+            if len(d) != len(known):
+                problems.append(
+                    f"{utt.basename}: {len(known)} known phones vs "
+                    f"{len(d)} durations")
+            if int(d.sum()) != mel.shape[0]:
+                problems.append(
+                    f"{utt.basename}: sum(durations)={int(d.sum())} vs "
+                    f"mel frames={mel.shape[0]}")
+            if len(pitch) != len(d) or len(energy) != len(d):
+                problems.append(f"{utt.basename}: pitch/energy length "
+                                f"mismatch vs durations")
+            if not np.isfinite(mel).all():
+                problems.append(f"{utt.basename}: non-finite mel values")
+            n_checked += 1
+    return {
+        "utterances_checked": n_checked,
+        "problems": problems[:100],
+        "problem_count": len(problems),
+        "unknown_phones": sorted(unknown_phones),
+    }
+
+
+def validate_checkpoint(ckpt_dir: str, cfg) -> dict:
+    import jax
+    import numpy as np
+
+    from ..models import FastSpeech2, param_count
+    from ..train import CheckpointManager, create_train_state, make_optimizer
+
+    model = FastSpeech2(cfg.model, cfg.preprocess)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.train.optimizer,
+                        cfg.model.transformer.encoder_hidden)
+    example = create_train_state(params, bn_state, tx, jax.random.PRNGKey(1))
+    mgr = CheckpointManager(ckpt_dir)
+    step = mgr.latest_step()
+    if step is None:
+        return {"ok": False, "error": f"no checkpoints in {ckpt_dir}"}
+    state = mgr.restore(example, step)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    n_nan = sum(int(np.sum(~np.isfinite(np.asarray(x)))) for x in leaves)
+    return {
+        "ok": n_nan == 0,
+        "step": int(state.step),
+        "param_count": param_count(state.params),
+        "non_finite_params": n_nan,
+        "max_abs_param": float(max(np.abs(np.asarray(x)).max()
+                                   for x in leaves)),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="efs2-validate")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    tg = sub.add_parser("textgrids")
+    tg.add_argument("--textgrid-dir", required=True)
+    tg.add_argument("--report", default="textgrid_quality_report.json")
+
+    data = sub.add_parser("data")
+    data.add_argument("--preprocessed-path", required=True)
+
+    ck = sub.add_parser("checkpoint")
+    from .common import add_config_args
+
+    add_config_args(ck)
+    ck.add_argument("--ckpt-dir", default=None)
+
+    args = ap.parse_args()
+    if args.cmd == "textgrids":
+        out = validate_textgrids(args.textgrid_dir, args.report)
+        print(json.dumps({k: v for k, v in out.items() if k != "phone_types"},
+                         indent=2, ensure_ascii=False))
+    elif args.cmd == "data":
+        print(json.dumps(validate_data(args.preprocessed_path), indent=2,
+                         ensure_ascii=False))
+    elif args.cmd == "checkpoint":
+        from .common import config_from_args
+
+        cfg = config_from_args(args)
+        ckpt = args.ckpt_dir or cfg.train.path.ckpt_path
+        print(json.dumps(validate_checkpoint(ckpt, cfg), indent=2))
+
+
+if __name__ == "__main__":
+    main()

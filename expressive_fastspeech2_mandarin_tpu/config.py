@@ -63,6 +63,9 @@ class PreprocessConfig:
     val_size: int = 512
     text_cleaners: tuple[str, ...] = ("basic_cleaners",)
     language: str = "zh"
+    # Phoneme inventory used to encode metadata: "pinyin" (108 symbols,
+    # dataset_chinese.py path) or "ipa" (138 symbols, dataset_ipa path).
+    symbol_table: str = "pinyin"
     audio: AudioConfig = field(default_factory=AudioConfig)
     stft: STFTConfig = field(default_factory=STFTConfig)
     mel: MelConfig = field(default_factory=MelConfig)
@@ -192,6 +195,13 @@ class TrainConfig:
     buckets: BucketConfig = field(default_factory=BucketConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     seed: int = 1234
+    # "default" keeps TPU bf16 matmuls (fast path); "highest" forces f32
+    # accumulation everywhere — use for numeric-parity runs.
+    matmul_precision: str = "default"
+    # Write a jax.profiler trace for steps [start, stop) to
+    # <log_path>/profile (disabled when start < 0).
+    profile_start_step: int = -1
+    profile_stop_step: int = -1
 
 
 @dataclass(frozen=True)
@@ -227,6 +237,7 @@ def preprocess_config_from_dict(d: dict[str, Any]) -> PreprocessConfig:
         val_size=_get(p, "val_size", default=512),
         text_cleaners=tuple(_get(p, "text", "text_cleaners", default=["basic_cleaners"])),
         language=_get(p, "text", "language", default="zh"),
+        symbol_table=_get(p, "text", "symbol_table", default="pinyin"),
         audio=AudioConfig(
             sampling_rate=_get(p, "audio", "sampling_rate", default=22050),
             max_wav_value=_get(p, "audio", "max_wav_value", default=32768.0),

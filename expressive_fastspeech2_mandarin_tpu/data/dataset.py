@@ -54,6 +54,7 @@ class BucketedDataset:
         seed: int = 1234,
         num_shards: int = 1,
         shard_index: int = 0,
+        symbol_table: str = "pinyin",
     ):
         self.corpus = corpus
         self.batch_size = batch_size
@@ -62,6 +63,7 @@ class BucketedDataset:
         self.seed = seed
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.symbol_table = symbol_table
 
         lengths = corpus.lengths(filename)
         self.examples: list[Example] = []
@@ -130,7 +132,7 @@ class BucketedDataset:
             "durations": np.zeros((b, src_bucket), np.int32),
         }
         for i, e in enumerate(batch):
-            ids = e.utt.phone_ids()
+            ids = e.utt.phone_ids(self.symbol_table)
             mel = self.corpus.mel(e.utt)
             pitch = self.corpus.pitch(e.utt)
             energy = self.corpus.energy(e.utt)

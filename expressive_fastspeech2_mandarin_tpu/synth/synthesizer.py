@@ -30,7 +30,7 @@ from ..interop.torch_ckpt import (
 from ..models import FastSpeech2, apply_generator
 from ..models.hifigan import pack_generator_params
 from ..preprocess.esd import EMOTION_AROUSAL_VALENCE
-from ..text import chinese_text_to_ids
+from ..text import text_to_ids
 from ..utils.wav import save_wav
 
 SRC_BUCKETS = (16, 32, 64, 128, 256)
@@ -77,6 +77,7 @@ class Synthesizer:
                          pack_generator_params(vocoder_params,
                                                cfg.model.vocoder))
             if vocoder_params is not None else None)
+        self.melgan_params = None  # set via load_melgan()
         self.speaker_map = speaker_map or {}
         self.emotion_maps = emotion_maps or {}
         self.melstft = MelSTFT(cfg.preprocess.stft, cfg.preprocess.mel,
@@ -144,6 +145,13 @@ class Synthesizer:
             {"emotion": corpus.emotion_map, "arousal": corpus.arousal_map,
              "valence": corpus.valence_map} if corpus else None)
 
+    def load_melgan(self, ckpt_path: str) -> None:
+        """Load a melgan-neurips generator checkpoint (torch state dict)."""
+        from ..models import convert_melgan
+
+        sd = load_torch_state_dict(ckpt_path)
+        self.melgan_params = jax.tree.map(jnp.asarray, convert_melgan(sd))
+
     # -- id mapping ---------------------------------------------------------
 
     def resolve_ids(self, speaker: str | int, emotion: str | int):
@@ -197,7 +205,8 @@ class Synthesizer:
         sr = self.cfg.preprocess.audio.sampling_rate
         hop = self.cfg.preprocess.stft.hop_length
 
-        id_lists = [chinese_text_to_ids(t) for t in texts]
+        id_lists = [text_to_ids(t, self.cfg.preprocess.symbol_table)
+                    for t in texts]
         max_src = _bucket(max(len(i) for i in id_lists), SRC_BUCKETS)
         max_mel = max_mel_len or _bucket(
             int(max(len(i) for i in id_lists) * 10 * duration_control) + 16,
@@ -226,6 +235,12 @@ class Synthesizer:
             if self.vocoder_params is None:
                 raise ValueError("no HiFi-GAN weights loaded")
             wavs = np.asarray(self._vocoder_fn()(self.vocoder_params, mel))
+        elif vocoder == "melgan":
+            if self.melgan_params is None:
+                raise ValueError("no MelGAN weights loaded")
+            from ..models import apply_melgan
+
+            wavs = np.asarray(jax.jit(apply_melgan)(self.melgan_params, mel))
         else:
             wavs = np.asarray(self.melstft.mel_to_audio(mel))
 

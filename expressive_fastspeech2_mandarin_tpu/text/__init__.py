@@ -32,6 +32,7 @@ __all__ = [
     "ids_to_phonemes",
     "chinese_text_to_phonemes",
     "chinese_text_to_ids",
+    "text_to_ids",
     "text_to_sequence",
     "text_to_sequence_ipa",
     "pinyin_to_phonemes",
@@ -86,6 +87,14 @@ def chinese_text_to_ids(text: str) -> list[int]:
     with unknown→pad fallback (reference: synthesize_chinese_pinyin.py:106-130).
     """
     return phonemes_to_ids(chinese_text_to_phonemes(text), "pinyin", unknown="pad")
+
+
+def text_to_ids(text: str, table: str = "pinyin") -> list[int]:
+    """Dispatch by symbol inventory: pinyin (hanzi or {phones}) or IPA
+    ({phones} with @spn fallback)."""
+    if table == "ipa":
+        return text_to_sequence_ipa(text)
+    return chinese_text_to_ids(text)
 
 
 def _should_keep(s: str, table: dict[str, int]) -> bool:

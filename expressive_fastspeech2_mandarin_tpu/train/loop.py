@@ -66,10 +66,12 @@ def train(cfg: Config, restore_step: int | None = None,
         corpus, "train.txt", cfg.train.optimizer.batch_size,
         cfg.train.buckets, cfg.model.max_seq_len, drop_last=True,
         seed=cfg.train.seed, num_shards=n_hosts,
-        shard_index=jax.process_index())
+        shard_index=jax.process_index(),
+        symbol_table=cfg.preprocess.symbol_table)
     val_ds = BucketedDataset(
         corpus, "val.txt", cfg.train.optimizer.batch_size,
-        cfg.train.buckets, cfg.model.max_seq_len, seed=cfg.train.seed)
+        cfg.train.buckets, cfg.model.max_seq_len, seed=cfg.train.seed,
+        symbol_table=cfg.preprocess.symbol_table)
 
     params, bn_state = model.init(jax.random.PRNGKey(cfg.train.seed))
     tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
@@ -96,14 +98,26 @@ def train(cfg: Config, restore_step: int | None = None,
     print(f"training: {param_count(state.params)/1e6:.1f}M params, "
           f"{len(train_ds)} utterances, mesh {mesh.devices.shape}")
 
+    if cfg.train.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.train.matmul_precision)
+    profile_dir = os.path.join(cfg.train.path.log_path or "output/log",
+                               "profile")
+
     step = int(state.step)
     epoch = 0
     while step < total:
         for batch in train_ds.epoch(epoch):
+            if step == cfg.train.profile_start_step:
+                jax.profiler.start_trace(profile_dir)
             batch = shard_batch(mesh, batch)
             state, report = train_step(state, batch)
             step = int(state.step)
             logger.tick()
+            if step == cfg.train.profile_stop_step:
+                jax.block_until_ready(report)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
 
             if step % log_every == 0:
                 d = _report_dict(report)
