@@ -15,7 +15,10 @@ from .common import add_config_args, config_from_args
 def main() -> None:
     ap = argparse.ArgumentParser(prog="efs2-synthesize")
     add_config_args(ap)
-    ap.add_argument("--mode", choices=["single", "batch"], required=True)
+    ap.add_argument("--mode", choices=["single", "batch", "grid"],
+                    required=True,
+                    help="grid: every speaker x emotion for one text "
+                         "(reference: generate_emotion_samples.py)")
     ap.add_argument("--text", default=None, help="single: hanzi or {phones}")
     ap.add_argument("--source", default=None, help="batch: metadata file")
     ap.add_argument("--speaker_id", default="0001")
@@ -36,8 +39,8 @@ def main() -> None:
     ap.add_argument("--out_dir", default=None)
     args = ap.parse_args()
 
-    if args.mode == "single":
-        assert args.text is not None, "--text required in single mode"
+    if args.mode in ("single", "grid"):
+        assert args.text is not None, f"--text required in {args.mode} mode"
     else:
         assert args.source is not None, "--source required in batch mode"
 
@@ -62,6 +65,15 @@ def main() -> None:
         results = synth.synthesize(
             [args.text], [args.speaker_id], [args.emotion],
             basenames=[name], vocoder=args.vocoder, **controls)
+    elif args.mode == "grid":
+        speakers = sorted(synth.speaker_map) or ["0"]
+        emotions = sorted(synth.emotion_maps.get("emotion", {})) or ["Neutral"]
+        results = []
+        for spk in speakers:
+            results += synth.synthesize(
+                [args.text] * len(emotions), [spk] * len(emotions), emotions,
+                basenames=[f"grid_{spk}_{emo}" for emo in emotions],
+                vocoder=args.vocoder, **controls)
     else:
         from ..data.metadata import read_metadata
 

@@ -1,0 +1,99 @@
+"""Smoke tests on real Mandarin speech (the reference repo's test fixture,
+used read-only as data): DSP features and F0 must behave sensibly on actual
+speech, not just synthetic tones."""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXTURE = "/root/reference/test_data/0001/0001_000001.wav"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(FIXTURE),
+                                reason="reference fixture not mounted")
+
+
+@pytest.fixture(scope="module")
+def speech():
+    from expressive_fastspeech2_mandarin_tpu.utils.wav import load_wav
+
+    audio, sr = load_wav(FIXTURE, 22050)
+    assert sr == 22050
+    return audio
+
+
+def test_mel_features_on_real_speech(speech):
+    from expressive_fastspeech2_mandarin_tpu.config import MelConfig, STFTConfig
+    from expressive_fastspeech2_mandarin_tpu.dsp import MelSTFT
+
+    stft = MelSTFT(STFTConfig(), MelConfig(), 22050)
+    mel, energy = stft.mel_energy(np.clip(speech, -1, 1)[None, :])
+    n_frames = speech.shape[0] // 256 + 1
+    assert mel.shape == (1, n_frames, 80)
+    mel = np.asarray(mel)[0]
+    # Real speech: wide dynamic range, no constant frames, finite.
+    assert np.isfinite(mel).all()
+    assert mel.max() > 0 and mel.min() <= np.log(1e-5) + 1.0
+    assert np.asarray(energy).max() > 1.0
+
+
+def test_f0_on_real_speech(speech):
+    from expressive_fastspeech2_mandarin_tpu.dsp import estimate_f0
+
+    f0 = estimate_f0(speech.astype(np.float64), 22050, 256)
+    voiced = f0[f0 > 0]
+    # A spoken sentence: a sizable voiced fraction in a plausible range
+    # (speaker 0001 is female; expect median pitch 120-400 Hz).
+    assert len(voiced) > 0.2 * len(f0)
+    med = float(np.median(voiced))
+    assert 100.0 < med < 450.0, med
+
+
+def test_full_feature_extraction_on_real_speech(speech, tmp_path):
+    """Run the Preprocessor's per-utterance path with a plausible TextGrid."""
+    from expressive_fastspeech2_mandarin_tpu.config import (
+        PathConfig,
+        PreprocessConfig,
+    )
+    from expressive_fastspeech2_mandarin_tpu.preprocess import (
+        Interval,
+        Preprocessor,
+        TextGrid,
+        Tier,
+        write_textgrid,
+    )
+    from expressive_fastspeech2_mandarin_tpu.utils.wav import save_wav
+
+    raw = tmp_path / "raw"
+    pre = tmp_path / "pre"
+    os.makedirs(raw / "0001")
+    os.makedirs(pre / "TextGrid" / "0001")
+    for kind in ("mel", "pitch", "energy", "duration"):
+        os.makedirs(pre / kind)
+    save_wav(str(raw / "0001" / "utt.wav"), speech, 22050)
+    with open(raw / "0001" / "utt.lab", "w") as f:
+        f.write("da yuan yi kan\n")
+    dur = len(speech) / 22050
+    phones = ["d", "a", "y", "ua", "n", "i", "k", "a", "n"]
+    seg = (dur - 0.4) / len(phones)
+    ivs = [Interval(0, 0.2, "sil")]
+    for i, p in enumerate(phones):
+        ivs.append(Interval(0.2 + i * seg, 0.2 + (i + 1) * seg, p))
+    ivs.append(Interval(dur - 0.2, dur, "sil"))
+    write_textgrid(TextGrid(0, dur, [Tier("phones", ivs)]),
+                   str(pre / "TextGrid" / "0001" / "utt.TextGrid"))
+
+    cfg = PreprocessConfig(path=PathConfig(raw_path=str(raw),
+                                           preprocessed_path=str(pre)))
+    p = Preprocessor(cfg, num_workers=1)
+    ret = p.process_utterance("0001", "utt")
+    assert ret is not None
+    meta, pitch_trim, energy_trim, n_frames = ret
+    assert "{d a y ua n i k a n}" in meta
+    d = np.load(pre / "duration" / "0001-duration-utt.npy")
+    mel = np.load(pre / "mel" / "0001-mel-utt.npy")
+    pitch = np.load(pre / "pitch" / "0001-pitch-utt.npy")
+    assert len(d) == 9
+    assert mel.shape == (int(d.sum()), 80)
+    assert len(pitch) == 9  # phoneme-averaged
+    assert (pitch > 0).any()
