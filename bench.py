@@ -88,13 +88,16 @@ def _synth_bench(jax, iters=10, b=8, s=64, t=1000, hop=256, sr=22050):
     d_t = jnp.asarray(durations)
     mel_lens = jnp.asarray(durations.sum(1).astype(np.int32))
 
+    voc = jax.tree.map(lambda x: x.astype(jnp.bfloat16), voc)
+
     @jax.jit
     def synth(params, bn_state, voc, d_t, mel_lens, *args):
         out, _ = model.apply(
             params, bn_state, *args, max_mel_len=t,
             mel_lens=mel_lens, d_targets=d_t, deterministic=True)
-        wav = apply_generator(voc, out.postnet_mel, cfg.model.vocoder)
-        return wav
+        wav = apply_generator(voc, out.postnet_mel.astype(jnp.bfloat16),
+                              cfg.model.vocoder)
+        return wav.astype(jnp.float32)
 
     wav = synth(params, bn_state, voc, d_t, mel_lens, *args)
     jax.block_until_ready(wav)

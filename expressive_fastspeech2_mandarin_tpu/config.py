@@ -115,6 +115,9 @@ class VocoderConfig:
     resblock_dilation_sizes: tuple[tuple[int, ...], ...] = (
         (1, 3, 5), (1, 3, 5), (1, 3, 5),
     )
+    # Inference compute dtype: "bfloat16" (production; ~4e-4 waveform error,
+    # 1.7x faster with lane packing) or "float32" (parity runs).
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

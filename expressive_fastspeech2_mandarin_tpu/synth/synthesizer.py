@@ -182,8 +182,16 @@ class Synthesizer:
 
     @lru_cache(maxsize=8)
     def _vocoder_fn(self):
-        return jax.jit(lambda p, mel: apply_generator(
-            p, mel, self.cfg.model.vocoder))
+        dtype = jnp.dtype(self.cfg.model.vocoder.compute_dtype)
+
+        def fn(p, mel):
+            if dtype != jnp.float32:
+                p = jax.tree.map(lambda x: x.astype(dtype), p)
+                mel = mel.astype(dtype)
+            return apply_generator(
+                p, mel, self.cfg.model.vocoder).astype(jnp.float32)
+
+        return jax.jit(fn)
 
     def synthesize(
         self,

@@ -168,5 +168,19 @@ def _synth_sample(model, cfg, state, val_ds, corpus, logger, step):
         save_mel_plot(os.path.join(out_dir, f"step{step}.png"),
                       [(np.asarray(mel_pred[i, :max(t_pred, 1)]).T, None, None)],
                       None, ["Synthesized"])
+        # GT reconstruction + prediction audio (Griffin-Lim; the reference
+        # uses the HiFi-GAN vocoder here, utils/tools.py:204-218).
+        if t_pred > 4 and t_gt > 4:
+            from ..dsp import MelSTFT
+
+            stft = MelSTFT(cfg.preprocess.stft, cfg.preprocess.mel,
+                           cfg.preprocess.audio.sampling_rate)
+            wav_pred = np.asarray(stft.mel_to_audio(
+                mel_pred[i:i + 1, :t_pred], n_iters=20))[0]
+            wav_gt = np.asarray(stft.mel_to_audio(
+                batch["mels"][i:i + 1, :t_gt], n_iters=20))[0]
+            sr = cfg.preprocess.audio.sampling_rate
+            logger.log_audio("val/audio_predicted", wav_pred, sr, step)
+            logger.log_audio("val/audio_reconstructed", wav_gt, sr, step)
     except Exception as e:  # sample synthesis must never kill training
         print(f"synth sample at step {step} failed: {e}")
