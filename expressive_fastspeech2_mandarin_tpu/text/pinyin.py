@@ -25,6 +25,9 @@ _FINALS = {
     "an": "a n", "en": "e n", "in": "i n", "un": "u n", "vn": "y n",
     "ang": "a ng", "eng": "e ng", "ing": "i ng", "ong": "o ng",
     "er": "er", "iao": "iao", "ian": "ia n", "iang": "ia ng",
+    # NB: "io" is not in the 44-phone MFA inventory — the reference maps
+    # iong → "io ng" anyway (synthesize_chinese_pinyin.py:54) and the unknown
+    # phone then falls to pad/skip downstream; replicated for parity.
     "iong": "io ng", "uai": "uai", "uan": "ua n", "uang": "ua ng",
 }
 

@@ -106,6 +106,7 @@ def train(cfg: Config, restore_step: int | None = None,
 
     step = int(state.step)
     epoch = 0
+    _synth_cache: dict[int, object] = {}
     while step < total:
         for batch in train_ds.epoch(epoch):
             if step == cfg.train.profile_start_step:
@@ -127,7 +128,8 @@ def train(cfg: Config, restore_step: int | None = None,
                 val_logger.log_losses(step, evaluate(eval_step, state,
                                                      val_ds, mesh))
             if step % synth_every == 0:
-                _synth_sample(model, cfg, state, val_ds, corpus, logger, step)
+                _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
+                              _synth_cache)
             if step % save_every == 0:
                 ckpt.save(step, state)
             if step >= total:
@@ -140,12 +142,18 @@ def train(cfg: Config, restore_step: int | None = None,
     return state
 
 
-def _synth_sample(model, cfg, state, val_ds, corpus, logger, step):
+def _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
+                  cache: dict | None = None):
     """One GT-vs-predicted spectrogram figure (reference:
     utils/tools.py:170-222); audio via Griffin-Lim when no vocoder."""
     try:
         batch = next(val_ds.epoch(0, shuffle=False))
-        synth = make_synth_step(model, cfg, max_mel_len=batch["mels"].shape[1])
+        mel_bucket = batch["mels"].shape[1]
+        cache = cache if cache is not None else {}
+        if mel_bucket not in cache:
+            cache[mel_bucket] = make_synth_step(model, cfg,
+                                                max_mel_len=mel_bucket)
+        synth = cache[mel_bucket]
         mel_pred, mel_lens, durations = synth(state.params, state.bn_state,
                                               batch)
         i = 0
