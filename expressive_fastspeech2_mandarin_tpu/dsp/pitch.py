@@ -21,6 +21,11 @@ phoneme averaging downstream).
 
 from __future__ import annotations
 
+import ctypes
+import functools
+import os
+import pathlib
+
 import numpy as np
 import scipy.signal
 
@@ -42,6 +47,10 @@ def _lowpass(x: np.ndarray, fs: float, cutoff: float) -> np.ndarray:
 def _event_intervals(signal: np.ndarray, fs: float, negative: bool):
     """(event_times, interval_f0s) from zero crossings of ``signal``."""
     s = -signal if negative else signal
+    # Gate filter round-off in digitally silent regions to exact zero so
+    # silence yields no events (kept in sync with native/pitch/pitch.cc).
+    gate = 1e-10 * np.max(np.abs(s)) if len(s) else 0.0
+    s = np.where(np.abs(s) <= gate, 0.0, s)
     crossing = np.where((s[:-1] < 0) & (s[1:] >= 0))[0]
     if len(crossing) < 3:
         return np.array([]), np.array([])
@@ -179,6 +188,53 @@ def stonemask(x: np.ndarray, f0: np.ndarray, frame_times: np.ndarray,
     return refined
 
 
+@functools.cache
+def _native_lib() -> ctypes.CDLL | None:
+    """Load the C++ extractor (native/pitch/libefs2pitch.so) if built.
+
+    The native library implements the identical DIO+StoneMask scheme
+    thread-parallel in C++; ``EFS2_PITCH_LIB`` overrides the search path and
+    ``EFS2_PITCH_BACKEND=numpy`` disables it.
+    """
+    if os.environ.get("EFS2_PITCH_BACKEND", "auto") == "numpy":
+        return None
+    candidates = []
+    if "EFS2_PITCH_LIB" in os.environ:
+        candidates.append(pathlib.Path(os.environ["EFS2_PITCH_LIB"]))
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    candidates.append(repo / "native" / "pitch" / "libefs2pitch.so")
+    for path in candidates:
+        if not path.exists():
+            continue
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            continue
+        lib.efs2_estimate_f0.restype = ctypes.c_int
+        lib.efs2_estimate_f0.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ]
+        return lib
+    return None
+
+
+def _estimate_f0_native(lib: ctypes.CDLL, x: np.ndarray, fs: int,
+                        frame_period: float, f0_floor: float,
+                        f0_ceil: float) -> np.ndarray | None:
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    n_frames = int(len(x) / fs * 1000.0 / frame_period) + 1
+    out = np.zeros(n_frames, dtype=np.float64)
+    got = lib.efs2_estimate_f0(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x), fs,
+        frame_period, f0_floor, f0_ceil,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_frames)
+    if got < 0:
+        return None
+    return out[:got]
+
+
 def estimate_f0(
     x: np.ndarray,
     fs: int,
@@ -187,8 +243,17 @@ def estimate_f0(
     f0_ceil: float = 800.0,
 ) -> np.ndarray:
     """DIO + StoneMask at the reference's hop period
-    (frame_period = hop/fs*1000, preprocessor/preprocessor.py:256-261)."""
+    (frame_period = hop/fs*1000, preprocessor/preprocessor.py:256-261).
+
+    Uses the native C++ extractor when available (same algorithm,
+    thread-parallel), the numpy implementation otherwise.
+    """
     frame_period = hop_length / fs * 1000.0
+    lib = _native_lib()
+    if lib is not None:
+        f0 = _estimate_f0_native(lib, x, fs, frame_period, f0_floor, f0_ceil)
+        if f0 is not None:
+            return f0
     f0, t = dio(x, fs, frame_period=frame_period,
                 f0_floor=f0_floor, f0_ceil=f0_ceil)
     return stonemask(x, f0, t, fs)

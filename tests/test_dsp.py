@@ -149,3 +149,35 @@ def test_f0_frame_count_matches_pyworld_convention():
     f0 = estimate_f0(x, fs, hop)
     expected = int(len(x) / fs * 1000.0 / (hop / fs * 1000.0)) + 1
     assert len(f0) == expected
+
+
+def test_f0_native_backend_matches_numpy():
+    """The C++ extractor (native/pitch) must agree with the numpy
+    implementation: identical frame counts, identical voiced/unvoiced
+    decisions (up to a few boundary frames), and voiced F0 within 1 Hz."""
+    from expressive_fastspeech2_mandarin_tpu.dsp import pitch as P
+
+    lib = P._native_lib()
+    if lib is None:
+        pytest.skip("native pitch library not built")
+    fs, hop = 22050, 256
+    rng = np.random.default_rng(0)
+    t = np.arange(int(fs * 0.8)) / fs
+    vib = 200.0 + 15.0 * np.sin(2 * np.pi * 3.0 * t)
+    phase = 2 * np.pi * np.cumsum(vib) / fs
+    sig = sum((0.4 / k) * np.sin(k * phase) for k in range(1, 4))
+    sig += 0.01 * rng.normal(size=len(sig))
+    sig = np.concatenate([np.zeros(int(fs * 0.1)), sig])
+
+    frame_period = hop / fs * 1000.0
+    native = P._estimate_f0_native(lib, sig, fs, frame_period, 71.0, 800.0)
+    assert native is not None
+    f0_np, times = P.dio(sig, fs, frame_period=frame_period)
+    numpy_f0 = P.stonemask(sig, f0_np, times, fs)
+
+    assert len(native) == len(numpy_f0)
+    agree_vuv = (native > 0) == (numpy_f0 > 0)
+    assert agree_vuv.mean() > 0.95
+    both = (native > 0) & (numpy_f0 > 0)
+    assert both.sum() > 10
+    assert np.max(np.abs(native[both] - numpy_f0[both])) < 1.0
