@@ -30,6 +30,10 @@ class Utterance:
 
     def phone_ids(self, table: str = "pinyin") -> np.ndarray:
         phones = self.phone_text.strip("{}").split()
+        if phones and all(p.isdigit() for p in phones):
+            # Pre-encoded integer variant: the phones field already holds
+            # symbol IDs (reference: dataset.py:60-70).
+            return np.asarray([int(p) for p in phones], dtype=np.int32)
         return np.asarray(phonemes_to_ids(phones, table, unknown="skip"),
                           dtype=np.int32)
 
@@ -38,7 +42,18 @@ def parse_metadata_line(line: str) -> Utterance:
     parts = line.rstrip("\n").split("|")
     basename, speaker, phone_text, raw_text = parts[:4]
     aux = parts[4:]
-    emotion, arousal, valence = aux[-3], aux[-2], aux[-1]
+    if len(aux) >= 3:
+        emotion, arousal, valence = aux[-3], aux[-2], aux[-1]
+    elif aux:
+        # Emotion-only variant: derive arousal/valence from the emotion
+        # label via the fixed table (reference: dataset.py:14-23).
+        from ..preprocess.esd import EMOTION_AROUSAL_VALENCE
+
+        emotion = aux[-1]
+        arousal, valence = EMOTION_AROUSAL_VALENCE.get(
+            emotion, ("0.5", "0.5"))
+    else:
+        emotion, arousal, valence = "Neutral", "0.5", "0.5"
     return Utterance(basename, speaker, phone_text, raw_text,
                      emotion, arousal, valence)
 

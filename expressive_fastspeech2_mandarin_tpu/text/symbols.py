@@ -64,10 +64,59 @@ BOS_ID = 2
 EOS_ID = 3
 
 
+# Custom inventories registered at runtime (e.g. harvested from MFA
+# TextGrids, reference: create_ipa_symbols.py:11-80).
+_CUSTOM_TABLES: dict[str, list[str]] = {}
+
+
+def build_symbol_list(phonemes: list[str], prefix: str = "@") -> list[str]:
+    """Base symbols + sorted, prefixed phones — the reference's layout for
+    generated inventories (create_ipa_symbols.py:57-80)."""
+    pref = [p if p.startswith(prefix) else prefix + p
+            for p in sorted(set(phonemes))]
+    return _BASE + pref
+
+
+def register_symbol_table(name: str, phonemes: list[str],
+                          prefix: str = "@") -> list[str]:
+    """Register a custom inventory under ``name`` (usable wherever
+    ``symbol_table=`` is accepted: config, datasets, CLIs)."""
+    if name in ("pinyin", "ipa"):
+        raise ValueError(f"cannot override builtin inventory {name!r}")
+    syms = build_symbol_list(phonemes, prefix)
+    _CUSTOM_TABLES[name] = syms
+    return syms
+
+
+def load_symbol_table(path: str, name: str | None = None) -> str:
+    """Load a JSON inventory ({"name": ..., "phonemes": [...]}) written by
+    the harvest tool and register it. Returns the registered name."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    name = name or data.get("name") or "custom"
+    register_symbol_table(name, data["phonemes"], data.get("prefix", "@"))
+    return name
+
+
+def get_symbols(name: str) -> list[str]:
+    """Return the ordered symbol list for the given inventory name."""
+    if name == "pinyin":
+        return PINYIN_SYMBOLS
+    if name == "ipa":
+        return IPA_SYMBOLS
+    if name in _CUSTOM_TABLES:
+        return _CUSTOM_TABLES[name]
+    raise ValueError(f"unknown symbol inventory: {name!r}")
+
+
 def get_symbol_table(name: str) -> dict[str, int]:
     """Return the symbol→ID mapping for the given inventory name."""
     if name == "pinyin":
         return PINYIN_TO_ID
     if name == "ipa":
         return IPA_TO_ID
+    if name in _CUSTOM_TABLES:
+        return {s: i for i, s in enumerate(_CUSTOM_TABLES[name])}
     raise ValueError(f"unknown symbol inventory: {name!r}")

@@ -109,3 +109,26 @@ def test_epoch_shuffling_and_sharding(corpus_dir):
     n0 = len(list(shard0.epoch(0)))
     n1 = len(list(shard1.epoch(0)))
     assert n0 + n1 == len(list(ds.epoch(0)))
+
+
+def test_pre_encoded_int_phones():
+    """Pre-encoded integer metadata variant (reference: dataset.py:60-70)."""
+    from expressive_fastspeech2_mandarin_tpu.data.metadata import (
+        parse_metadata_line,
+    )
+
+    utt = parse_metadata_line("x|0001|{64 65 107}|raw|0001|t|Happy|0.8|0.8")
+    assert utt.phone_ids().tolist() == [64, 65, 107]
+
+
+def test_emotion_only_aux_derives_av():
+    """Emotion-only metadata derives arousal/valence from the fixed table
+    (reference: dataset.py:14-23)."""
+    from expressive_fastspeech2_mandarin_tpu.data.metadata import (
+        parse_metadata_line,
+    )
+
+    utt = parse_metadata_line("x|0001|{a}|raw|Angry")
+    assert (utt.emotion, utt.arousal, utt.valence) == ("Angry", "0.9", "0.1")
+    utt = parse_metadata_line("x|0001|{a}|raw")
+    assert utt.emotion == "Neutral" and utt.arousal == "0.5"

@@ -101,3 +101,26 @@ def test_validate_data_detects_mismatch(tmp_path):
     assert report["utterances_checked"] == 1
     assert any("sum(durations)=5 vs mel frames=99" in p
                for p in report["problems"])
+
+
+def test_korean_pronunciation_rules():
+    """Native standard-pronunciation rule engine (g2pk fallback):
+    palatalization, aspiration, nasalization, lateralization, liaison,
+    complex-coda reduction, tensification."""
+    from expressive_fastspeech2_mandarin_tpu.text.korean import pronounce
+
+    cases = {
+        "같이": "가치", "좋다": "조타", "입니다": "임니다", "설날": "설랄",
+        "한국말": "한궁말", "학교": "학꾜", "옷이": "오시", "읽다": "익따",
+        "않아": "아나", "밥물": "밤물", "독립": "동닙", "넓다": "널따",
+        "국밥": "국빱", "놓는": "논는",
+    }
+    for src, want in cases.items():
+        assert pronounce(src) == want, (src, pronounce(src), want)
+
+
+def test_korean_pronounce_preserves_non_hangul():
+    from expressive_fastspeech2_mandarin_tpu.text.korean import pronounce
+
+    assert pronounce("abc 123!") == "abc 123!"
+    assert pronounce("같이 가요.") == "가치 가요."
