@@ -46,6 +46,7 @@ def align_corpus(
     mix_up: int = 4,
     threads: int | None = None,
     timeout: float = 7200.0,
+    speaker_adapt: bool = True,
 ) -> str:
     """Train (or load) the acoustic model and force-align the corpus,
     writing MFA-style TextGrids under ``out_dir/<speaker>/``.
@@ -55,6 +56,8 @@ def align_corpus(
     binary = ensure_built()
     cmd = [binary, "align", "--corpus", corpus_path, "--out", out_dir,
            "--iters", str(iters), "--mix-up", str(mix_up)]
+    if not speaker_adapt:
+        cmd += ["--no-adapt"]
     if model_path:
         cmd += ["--model", model_path]
     if threads:

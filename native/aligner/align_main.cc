@@ -174,6 +174,7 @@ int Run(int argc, char** argv) {
   std::string corpus, out_dir, model_path;
   int iters = 8, threads = int(std::thread::hardware_concurrency());
   int mix_up = 4;
+  bool adapt = true;  // fMLLR-style speaker adaptation between passes
   for (int i = 2; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(i + 1 < argc ? argv[++i] : ""); };
@@ -183,6 +184,7 @@ int Run(int argc, char** argv) {
     else if (a == "--iters") iters = std::stoi(next());
     else if (a == "--mix-up") mix_up = std::stoi(next());
     else if (a == "--threads") threads = std::stoi(next());
+    else if (a == "--no-adapt") adapt = false;
   }
   if ((mode != "align" && mode != "train") || corpus.empty() ||
       (mode == "align" && out_dir.empty())) {
@@ -320,6 +322,61 @@ int Run(int argc, char** argv) {
   }
 
   if (mode == "train") return 0;
+
+  // ---- Speaker-adaptive second pass (diagonal fMLLR): first-pass align,
+  // per-speaker transform estimation, features transformed in place — the
+  // native equivalent of MFA's align → calc_fmllr → align
+  // (MFA/montreal_forced_aligner/alignment/base.py:344-410).
+  if (adapt) {
+    std::unordered_map<std::string, int> spk_ids;
+    for (auto& u : utts)
+      if (!spk_ids.count(u.speaker)) {
+        int id = int(spk_ids.size());
+        spk_ids[u.speaker] = id;
+      }
+    const int n_spk = int(spk_ids.size());
+    std::vector<std::vector<FmllrAccumulator>> worker_spk(threads);
+    for (auto& ws : worker_spk) {
+      ws.resize(n_spk);
+      for (auto& a : ws) a.Resize(dim);
+    }
+    std::mutex ll_mu;
+    double ll_pass1 = 0;
+    long long frames_pass1 = 0;
+    ParallelFor(int(utts.size()), threads, [&](int i, int w) {
+      auto& u = utts[i];
+      std::vector<AlignedSegment> segs;
+      float ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
+      if (!std::isfinite(ll)) return;
+      std::vector<int> pdfs;
+      AlignmentToPdfIds(model, segs, &pdfs);
+      FmllrAccumulator& acc = worker_spk[w][spk_ids[u.speaker]];
+      for (int t = 0; t < int(pdfs.size()) && t < u.feats.rows; ++t)
+        if (pdfs[t] >= 0) acc.Add(model.gmms[pdfs[t]], u.feats.Row(t));
+      std::lock_guard<std::mutex> lk(ll_mu);
+      ll_pass1 += ll;
+      frames_pass1 += u.feats.rows;
+    });
+    std::vector<DiagTransform> trans(n_spk);
+    double mean_dev = 0;
+    for (int s = 0; s < n_spk; ++s) {
+      for (int w = 1; w < threads; ++w)
+        worker_spk[0][s].Merge(worker_spk[w][s]);
+      trans[s] = EstimateDiagFmllr(worker_spk[0][s]);
+      for (int d = 0; d < dim; ++d)
+        mean_dev += std::fabs(trans[s].scale[d] - 1.0f);
+    }
+    ParallelFor(int(utts.size()), threads, [&](int i, int) {
+      auto& u = utts[i];
+      const DiagTransform& t = trans[spk_ids[u.speaker]];
+      for (int r = 0; r < u.feats.rows; ++r) t.Apply(u.feats.Row(r), dim);
+    });
+    std::fprintf(stderr,
+                 "speaker adapt: %d speakers, pass1 ll/frame %.3f, "
+                 "mean |scale-1| %.4f\n",
+                 n_spk, ll_pass1 / std::max(1LL, frames_pass1),
+                 mean_dev / std::max(1, n_spk * dim));
+  }
 
   // ---- Final alignment + TextGrid export.
   std::atomic<int> aligned(0), skipped(0);

@@ -1,5 +1,6 @@
 #include "gmm.h"
 
+#include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -220,4 +221,85 @@ bool ReadGmms(const std::string& path, std::vector<std::string>* phones,
   return true;
 }
 
+
+// --- Diagonal fMLLR ---
+
+void FmllrAccumulator::Resize(int d) {
+  dim = d;
+  beta = 0.0;
+  g00.assign(d, 0.0);
+  g01.assign(d, 0.0);
+  g11.assign(d, 0.0);
+  k0.assign(d, 0.0);
+  k1.assign(d, 0.0);
+}
+
+void FmllrAccumulator::Add(const DiagGmm& gmm, const float* x) {
+  std::vector<float> post;
+  gmm.ComponentPosteriors(x, &post);
+  // Normalize posteriors.
+  float mx = post[0];
+  for (float p : post) mx = std::max(mx, p);
+  double sum = 0.0;
+  for (float& p : post) {
+    p = std::exp(p - mx);
+    sum += p;
+  }
+  const double inv = 1.0 / sum;
+  const int nc = gmm.NumComps();
+  for (int c = 0; c < nc; ++c) {
+    const double gamma = post[c] * inv;
+    if (gamma < 1e-6) continue;
+    const float* mu = &gmm.means[size_t(c) * dim];
+    const float* iv = &gmm.inv_vars[size_t(c) * dim];
+    for (int d = 0; d < dim; ++d) {
+      const double giv = gamma * iv[d];
+      g00[d] += giv * x[d] * x[d];
+      g01[d] += giv * x[d];
+      g11[d] += giv;
+      k0[d] += giv * mu[d] * x[d];
+      k1[d] += giv * mu[d];
+    }
+  }
+  beta += 1.0;
+}
+
+void FmllrAccumulator::Merge(const FmllrAccumulator& other) {
+  if (dim == 0) Resize(other.dim);
+  beta += other.beta;
+  for (int d = 0; d < dim; ++d) {
+    g00[d] += other.g00[d];
+    g01[d] += other.g01[d];
+    g11[d] += other.g11[d];
+    k0[d] += other.k0[d];
+    k1[d] += other.k1[d];
+  }
+}
+
+DiagTransform EstimateDiagFmllr(const FmllrAccumulator& acc,
+                                double min_count) {
+  DiagTransform t;
+  t.scale.assign(acc.dim, 1.0f);
+  t.offset.assign(acc.dim, 0.0f);
+  if (acc.beta < min_count) return t;
+  for (int d = 0; d < acc.dim; ++d) {
+    const double G00 = acc.g00[d], G01 = acc.g01[d], G11 = acc.g11[d];
+    const double K0 = acc.k0[d], K1 = acc.k1[d];
+    if (G11 < 1e-6) continue;
+    // Maximize beta*log(a) - 0.5 w'Gw + k'w; b = (K1 - G01*a)/G11,
+    // then c2*a^2 - c1*a - beta = 0 with the positive root.
+    const double c2 = G00 - G01 * G01 / G11;
+    const double c1 = K0 - G01 * K1 / G11;
+    if (c2 < 1e-8) continue;
+    const double disc = c1 * c1 + 4.0 * c2 * acc.beta;
+    const double a = (c1 + std::sqrt(disc)) / (2.0 * c2);
+    if (!(a > 0.1 && a < 10.0)) continue;  // sanity clamp
+    const double b = (K1 - G01 * a) / G11;
+    t.scale[d] = float(a);
+    t.offset[d] = float(b);
+  }
+  return t;
+}
+
 }  // namespace efs2
+

@@ -49,4 +49,34 @@ void WriteGmms(const std::string& path,
 bool ReadGmms(const std::string& path, std::vector<std::string>* phones,
               std::vector<DiagGmm>* gmms);
 
+// --- Speaker adaptation: diagonal fMLLR (x' = scale ⊙ x + offset). ---
+// The native equivalent of MFA's calc_fmllr pass between the two
+// alignment passes (MFA/montreal_forced_aligner/alignment/base.py:377-387).
+
+struct FmllrAccumulator {
+  // Per-dim sufficient stats of the diagonal-CMLLR objective
+  // Q = beta·log a − ½ wᵀGw + kᵀw with w = (a, b):
+  //   G = Σ γ/σ² [x² x; x 1],  k = Σ γμ/σ² [x, 1].
+  int dim = 0;
+  double beta = 0.0;  // total posterior mass (frames)
+  std::vector<double> g00, g01, g11, k0, k1;
+
+  void Resize(int dim);
+  // Accumulate one frame against a GMM with its component posteriors.
+  void Add(const DiagGmm& gmm, const float* x);
+  void Merge(const FmllrAccumulator& other);
+};
+
+struct DiagTransform {
+  std::vector<float> scale, offset;
+  void Apply(float* x, int dim) const {
+    for (int d = 0; d < dim; ++d) x[d] = x[d] * scale[d] + offset[d];
+  }
+};
+
+// Closed-form per-dim maximization of the diagonal-CMLLR objective.
+// Returns identity when stats are too sparse (beta < min_count).
+DiagTransform EstimateDiagFmllr(const FmllrAccumulator& acc,
+                                double min_count = 200.0);
+
 }  // namespace efs2

@@ -81,3 +81,58 @@ def test_native_aligner_end_to_end(tmp_path):
                         model_path=model_path, threads=2)
     assert "loaded model" in log2
     assert "aligned 30 utterances" in log2
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_speaker_adaptation_pass(tmp_path):
+    """The fMLLR-style second pass must run per speaker and keep boundary
+    accuracy on a corpus with a strong per-speaker channel difference
+    (MFA equivalent: align -> calc_fmllr -> align)."""
+    from expressive_fastspeech2_mandarin_tpu.align import (
+        align_corpus,
+        ensure_built,
+    )
+
+    ensure_built()
+    rng = np.random.default_rng(1)
+    truth = {}
+    for spk, gain, tilt in (("0001", 1.0, 0.0), ("0002", 0.18, 0.35)):
+        corpus = tmp_path / "corpus" / spk
+        os.makedirs(corpus)
+        for i in range(15):
+            phones = ["b", "a", "n", "h", "ao"]
+            durs = rng.uniform(0.08, 0.2, len(phones))
+            wav = _render(rng, phones, durs)
+            # Speaker "channel": gain + mild high-pass tilt.
+            if tilt:
+                wav = wav - tilt * np.concatenate([[0], wav[:-1]])
+            wav = (wav * gain).astype(np.float32)
+            base = f"{spk}_{i:06d}"
+            save_wav(str(corpus / f"{base}.wav"), wav, SR)
+            with open(corpus / f"{base}.lab", "w") as f:
+                f.write("ban hao\n")
+            t0, bounds = 0.08, []
+            for p, d in zip(phones, durs):
+                bounds.append((p, t0, t0 + d))
+                t0 += d
+            truth[(spk, base)] = bounds
+
+    log = align_corpus(str(tmp_path / "corpus"), str(tmp_path / "tg"),
+                       iters=6, threads=2)
+    assert "speaker adapt: 2 speakers" in log
+    assert "aligned 30 utterances" in log
+    errs = []
+    for (spk, base), bounds in truth.items():
+        tg = read_textgrid(str(tmp_path / "tg" / spk / f"{base}.TextGrid"))
+        tier = tg.get_tier_by_name("phones")
+        pred = [(iv.text, iv.start, iv.end) for iv in tier.intervals
+                if iv.text not in ("", "sil", "sp")]
+        assert [p for p, _, _ in pred] == [p for p, _, _ in bounds]
+        for (_, ta, tb), (_, pa, pb) in zip(bounds, pred):
+            errs += [abs(ta - pa), abs(tb - pb)]
+    assert float(np.mean(errs)) < 0.04
+
+    # --no-adapt must skip the pass.
+    log2 = align_corpus(str(tmp_path / "corpus"), str(tmp_path / "tg2"),
+                        iters=4, threads=2, speaker_adapt=False)
+    assert "speaker adapt" not in log2
