@@ -201,6 +201,10 @@ class TrainConfig:
     # "default" keeps TPU bf16 matmuls (fast path); "highest" forces f32
     # accumulation everywhere — use for numeric-parity runs.
     matmul_precision: str = "default"
+    # Optimizer steps executed on-device per host dispatch (lax.scan chunk).
+    # >1 amortizes host→device round-trip latency; consecutive same-bucket
+    # batches are stacked, so log/val/save cadences quantize to the chunk.
+    steps_per_call: int = 1
     # Write a jax.profiler trace for steps [start, stop) to
     # <log_path>/profile (disabled when start < 0).
     profile_start_step: int = -1

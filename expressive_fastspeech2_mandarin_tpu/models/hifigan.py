@@ -82,24 +82,44 @@ def _pack_padding(k: int, dilation: int, lam: int) -> tuple[int, int]:
     return -(min(offs) // lam), max(offs) // lam
 
 
-def pack_generator_params(params: Params, cfg: VocoderConfig) -> Params:
+def _stage_lam(ch: int) -> int:
+    return 128 // ch if (ch < 128 and 128 % ch == 0) else 1
+
+
+def pack_generator_params(params: Params, cfg: VocoderConfig,
+                          fused: bool = False,
+                          fused_dtype=jnp.bfloat16,
+                          fused_stages: tuple[int, ...] | None = None
+                          ) -> Params:
     """Augment generator params with precomputed polyphase kernels for the
     small-channel MRF stages. Call once after init/conversion; apply_generator
-    picks the packed path up automatically."""
+    picks the packed path up automatically.
+
+    ``fused=True`` additionally precomputes the stacked FIR taps consumed by
+    the fused Pallas resblock kernel (ops/pallas/mrf_resblock.py) for every
+    stage; apply_generator then runs the whole MRF VMEM-resident.
+    """
+    from ..ops.pallas.mrf_resblock import pack_resblock
+
     params = dict(params)
     params["resblocks"] = [dict(rb) for rb in params["resblocks"]]
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i in range(len(cfg.upsample_rates)):
         ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-        if ch >= 128 or 128 % ch != 0:
-            continue
-        lam = 128 // ch
+        lam = _stage_lam(ch)
         for j in range(num_kernels):
             rb = params["resblocks"][i * num_kernels + j]
             k = cfg.resblock_kernel_sizes[j]
             dil = cfg.resblock_dilation_sizes[j]
             rb["convs1"] = [dict(c) for c in rb["convs1"]]
             rb["convs2"] = [dict(c) for c in rb["convs2"]]
+            if fused and (fused_stages is None or i in fused_stages):
+                taps, biases, _ = pack_resblock(rb, k, tuple(dil), lam,
+                                                dtype=fused_dtype)
+                rb["fused_taps"] = taps
+                rb["fused_biases"] = biases
+            if lam == 1:
+                continue
             for conv, d in zip(rb["convs1"], dil):
                 pk, _, _ = _pack_conv_weight(conv["kernel"], d, lam)
                 conv["kernel_packed"] = jnp.asarray(pk)
@@ -187,6 +207,8 @@ def apply_generator(params: Params, mel: jnp.ndarray,
     ``fast=True`` runs small-channel MRF stages in the λ-packed layout (see
     above); numerics are within float round-off of the plain path.
     """
+    from ..ops.pallas.mrf_resblock import resblock_fused, resblock_meta
+
     num_kernels = len(cfg.resblock_kernel_sizes)
     x = conv1d(mel, params["conv_pre"]["kernel"], params["conv_pre"]["bias"],
                padding=3)
@@ -196,18 +218,27 @@ def apply_generator(params: Params, mel: jnp.ndarray,
         x = conv_transpose1d(x, up["kernel"], up["bias"],
                              stride=u, padding=(k - u) // 2)
         ch, t_cur = x.shape[-1], x.shape[1]
-        packed_ok = (fast and ch < 128 and 128 % ch == 0
+        stage_rb0 = params["resblocks"][i * num_kernels]
+        fused_ok = (fast and "fused_taps" in stage_rb0
+                    and t_cur % _stage_lam(ch) == 0)
+        packed_ok = (fast and not fused_ok and ch < 128 and 128 % ch == 0
                      and t_cur % (128 // ch) == 0
-                     and "kernel_packed"
-                     in params["resblocks"][i * num_kernels]["convs1"][0])
-        lam = 128 // ch if packed_ok else 1
+                     and "kernel_packed" in stage_rb0["convs1"][0])
+        lam = _stage_lam(ch) if (fused_ok or packed_ok) else 1
         b_sz = x.shape[0]
         if lam > 1:
             x = x.reshape(b_sz, t_cur // lam, lam * ch)
         xs = None
         for j in range(num_kernels):
             rb = params["resblocks"][i * num_kernels + j]
-            if lam > 1:
+            if fused_ok:
+                meta = resblock_meta(
+                    cfg.resblock_kernel_sizes[j],
+                    tuple(cfg.resblock_dilation_sizes[j]), lam, lam * ch)
+                out = resblock_fused(
+                    x, rb["fused_taps"], rb["fused_biases"], meta,
+                    interpret=jax.default_backend() == "cpu")
+            elif lam > 1:
                 out = apply_resblock_packed(
                     rb, x, cfg.resblock_kernel_sizes[j],
                     tuple(cfg.resblock_dilation_sizes[j]), lam, ch)

@@ -63,3 +63,10 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place every array in the batch with its batch dim on the data axis."""
     sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_batch_chunk(mesh: Mesh, batches: dict) -> dict:
+    """Shard a stacked (n_steps, batch, ...) chunk: scan axis replicated,
+    batch axis on the data axis."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batches)

@@ -74,8 +74,13 @@ class Synthesizer:
         self.bn_state = jax.tree.map(jnp.asarray, bn_state)
         self.vocoder_params = (
             jax.tree.map(jnp.asarray,
-                         pack_generator_params(vocoder_params,
-                                               cfg.model.vocoder))
+                         pack_generator_params(
+                             vocoder_params, cfg.model.vocoder,
+                             # Fused Pallas MRF wins only on stage 0 on the
+                             # real chip (PERF.md); interpret mode on CPU
+                             # would only slow tests down.
+                             fused=jax.default_backend() == "tpu",
+                             fused_stages=(0,)))
             if vocoder_params is not None else None)
         self.melgan_params = None  # set via load_melgan()
         self.speaker_map = speaker_map or {}

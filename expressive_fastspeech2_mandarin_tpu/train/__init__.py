@@ -3,7 +3,12 @@
 from .loss import LossReport, fastspeech2_loss
 from .schedule import make_optimizer, noam_schedule
 from .state import CheckpointManager, TrainState, create_train_state
-from .step import make_eval_step, make_synth_step, make_train_step
+from .step import (
+    make_eval_step,
+    make_synth_step,
+    make_train_multi_step,
+    make_train_step,
+)
 
 __all__ = [
     "LossReport",
@@ -14,6 +19,7 @@ __all__ = [
     "create_train_state",
     "CheckpointManager",
     "make_train_step",
+    "make_train_multi_step",
     "make_eval_step",
     "make_synth_step",
 ]

@@ -16,13 +16,19 @@ from ..config import Config
 from ..data import BucketedDataset, PreprocessedCorpus
 from ..models import FastSpeech2, param_count
 from ..parallel import shard_batch
+from ..parallel.mesh import shard_batch_chunk
 from ..parallel.mesh import mesh_for_batch
 from ..utils.logging import TrainLogger
 from ..utils.plotting import expand_by_duration, plot_mel, save_mel_plot
 from .loss import LossReport
 from .schedule import make_optimizer
 from .state import CheckpointManager, TrainState, create_train_state
-from .step import make_eval_step, make_synth_step, make_train_step
+from .step import (
+    make_eval_step,
+    make_synth_step,
+    make_train_multi_step,
+    make_train_step,
+)
 
 
 def _report_dict(report: LossReport) -> dict[str, float]:
@@ -89,6 +95,9 @@ def train(cfg: Config, restore_step: int | None = None,
 
     train_step = make_train_step(model, tx, cfg)
     eval_step = make_eval_step(model, cfg)
+    spc = max(1, cfg.train.steps_per_call)
+    multi_step = (make_train_multi_step(model, tx, cfg, spc)
+                  if spc > 1 else None)
 
     total = total_steps or cfg.train.step.total_step
     log_every = cfg.train.step.log_step
@@ -107,30 +116,74 @@ def train(cfg: Config, restore_step: int | None = None,
     step = int(state.step)
     epoch = 0
     _synth_cache: dict[int, object] = {}
+
+    def _chunks(batches):
+        """Group consecutive same-bucket batches into lax.scan chunks of
+        ``spc`` (singletons pass through the one-step path)."""
+        pending: list = []
+
+        def key(b):
+            return (b["texts"].shape, b["mels"].shape)
+
+        for b in batches:
+            if spc == 1:
+                yield [b]
+                continue
+            if pending and key(pending[0]) != key(b):
+                while pending:
+                    yield pending[:1]
+                    pending = pending[1:]
+            pending.append(b)
+            if len(pending) == spc:
+                yield pending
+                pending = []
+        while pending:
+            yield pending[:1]
+            pending = pending[1:]
+
     while step < total:
-        for batch in train_ds.epoch(epoch):
+        for group in _chunks(train_ds.epoch(epoch)):
             if step == cfg.train.profile_start_step:
                 jax.profiler.start_trace(profile_dir)
-            batch = shard_batch(mesh, batch)
-            state, report = train_step(state, batch)
-            step = int(state.step)
-            logger.tick()
-            if step == cfg.train.profile_stop_step:
+            prev_step = step
+            group = group[: max(total - step, 0)]  # don't overshoot total
+            if not group:
+                break
+            if len(group) == spc and spc > 1:
+                stacked = {k: np.stack([b[k] for b in group])
+                           for k in group[0]}
+                stacked = shard_batch_chunk(mesh, stacked)
+                state, report = multi_step(state, stacked)
+            else:
+                for b in group:
+                    state, report = train_step(state, shard_batch(mesh, b))
+            # Track the step count on host: reading ``state.step`` back
+            # would sync every iteration and serialize dispatch with the
+            # device (async dispatch then overlaps the next batch's H2D
+            # transfer with this step's compute).
+            step += len(group)
+            for _ in range(len(group)):
+                logger.tick()
+            if prev_step < cfg.train.profile_stop_step <= step:
                 jax.block_until_ready(report)
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {profile_dir}")
 
-            if step % log_every == 0:
+            def crossed(every: int) -> bool:
+                # Chunked steps may jump past an exact multiple.
+                return step // every > prev_step // every
+
+            if crossed(log_every):
                 d = _report_dict(report)
                 d["steps_per_sec"] = logger.steps_per_sec
                 logger.log_losses(step, d)
-            if step % val_every == 0:
+            if crossed(val_every):
                 val_logger.log_losses(step, evaluate(eval_step, state,
                                                      val_ds, mesh))
-            if step % synth_every == 0:
+            if crossed(synth_every):
                 _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
                               _synth_cache)
-            if step % save_every == 0:
+            if crossed(save_every):
                 ckpt.save(step, state)
             if step >= total:
                 break

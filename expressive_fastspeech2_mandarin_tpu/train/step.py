@@ -69,6 +69,33 @@ def make_train_step(model: FastSpeech2, tx: optax.GradientTransformation,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_multi_step(model: FastSpeech2,
+                          tx: optax.GradientTransformation, cfg: Config,
+                          n_steps: int, donate: bool = True):
+    """Returns jitted ``multi_step(state, batches) -> (state, LossReport)``
+    running ``n_steps`` optimizer steps on-device via ``lax.scan``.
+
+    ``batches`` is a train-step batch with a leading (n_steps, ...) axis on
+    every array. One host dispatch covers the whole chunk, so per-step host
+    round-trip latency (dominant on remote-attached TPUs; the reference's
+    per-batch Python loop at train.py:75-168 pays it every step) is
+    amortized n_steps×. The returned report holds the *mean* losses of the
+    chunk.
+    """
+    single = make_train_step(model, tx, cfg, donate=False)
+
+    def multi_step(state: TrainState, batches: Batch):
+        def body(carry, batch):
+            new_state, report = single(carry, batch)
+            return new_state, report
+
+        state, reports = jax.lax.scan(body, state, batches)
+        mean_report = jax.tree.map(lambda x: jnp.mean(x, axis=0), reports)
+        return state, mean_report
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model: FastSpeech2, cfg: Config):
     """Teacher-forced eval forward + loss (reference: evaluate.py:38-49)."""
     p_level = cfg.preprocess.pitch.feature

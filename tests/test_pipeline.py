@@ -147,8 +147,13 @@ def test_full_pipeline(corpus, tmp_path):
             mesh=MeshConfig(),
         ),
     )
+    from dataclasses import replace
+
     from expressive_fastspeech2_mandarin_tpu.train.loop import train
 
+    # Chunked dispatch (steps_per_call=2) must behave like the plain loop:
+    # same step count, checkpoints and logs.
+    cfg = replace(cfg, train=replace(cfg.train, steps_per_call=2))
     state = train(cfg, total_steps=6)
     assert int(state.step) == 6
     assert os.path.exists(str(tmp_path / "ckpt"))

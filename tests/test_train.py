@@ -177,3 +177,50 @@ def test_train_step_converges_on_mesh():
     # BatchNorm running stats must have moved.
     m0 = float(jnp.abs(state.bn_state["postnet"]["convs"][0]["mean"]).sum())
     assert m0 > 0.0
+
+
+def test_multi_step_matches_sequential_steps():
+    """lax.scan multi-step chunk == the same batches stepped one at a time
+    (exact: same program, same order)."""
+    from expressive_fastspeech2_mandarin_tpu.train import (
+        make_train_multi_step,
+    )
+
+    cfg = _tiny_config()
+    model = FastSpeech2(cfg.model, cfg.preprocess)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.train.optimizer,
+                        cfg.model.transformer.encoder_hidden)
+    state0 = create_train_state(params, bn_state, tx, jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(0)
+    n = 3
+    batches = [_synthetic_batch(rng, b=4) for _ in range(n)]
+
+    single = make_train_step(model, tx, cfg, donate=False)
+    st = state0
+    reps = []
+    for b in batches:
+        st, rep = single(st, {k: jnp.asarray(v) for k, v in b.items()})
+        reps.append(float(rep.total))
+
+    multi = make_train_multi_step(model, tx, cfg, n, donate=False)
+    stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+               for k in batches[0]}
+    st_m, rep_mean = multi(state0, stacked)
+
+    assert int(st_m.step) == int(st.step) == n
+    # Adam turns float-order noise into sign-level update differences for
+    # near-zero grads, so params can't match bitwise between the scanned
+    # and unrolled programs; the loss trajectory and parameter movement
+    # must agree.
+    assert abs(float(rep_mean.total) - np.mean(reps)) < 1e-3 * abs(
+        np.mean(reps))
+
+    def movement(p):
+        sq = jax.tree.map(lambda a, z: jnp.sum((a - z) ** 2), p,
+                          state0.params)
+        return float(jnp.sqrt(sum(jax.tree.leaves(sq))))
+
+    m_seq, m_multi = movement(st.params), movement(st_m.params)
+    assert abs(m_seq - m_multi) < 0.05 * m_seq
