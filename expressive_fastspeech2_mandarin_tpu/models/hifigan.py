@@ -86,6 +86,38 @@ def _stage_lam(ch: int) -> int:
     return 128 // ch if (ch < 128 and 128 % ch == 0) else 1
 
 
+def _pack_transposed_conv(kernel: np.ndarray, stride: int) -> np.ndarray:
+    """(K=2u, Cin, Cout) ConvTranspose1d kernel → (3, Cin, u·Cout) plain-conv
+    kernel computing all u output phases per input step.
+
+    An input-dilated transposed conv makes XLA multiply mostly zeros (only
+    K/u = 2 taps contribute per output sample). With padding (K-u)/2 = u/2,
+    output phase r draws from x[t-1],x[t] (r < u/2) or x[t],x[t+1]
+    (r ≥ u/2) with tap τ = r + u/2 - u·dt, so one k=3 conv emitting u·Cout
+    packed features followed by a free sample-major reshape is exact.
+    """
+    kernel = np.asarray(kernel)
+    k, c_in, c_out = kernel.shape
+    u = stride
+    assert k == 2 * u, "polyphase packing assumes kernel_size == 2*stride"
+    packed = np.zeros((3, c_in, u * c_out), kernel.dtype)
+    for r in range(u):
+        dts = (-1, 0) if r < u // 2 else (0, 1)
+        for dt in dts:
+            tau = r + u // 2 - u * dt
+            packed[dt + 1, :, r * c_out: (r + 1) * c_out] = kernel[tau]
+    return packed
+
+
+def _upsample_poly(x: jnp.ndarray, up: Params, stride: int) -> jnp.ndarray:
+    """Apply a packed transposed conv: (B,T,Cin) → (B,T·u,Cout)."""
+    b, t, _ = x.shape
+    out = conv1d(x, up["kernel_poly"], padding=1)
+    c_out = out.shape[-1] // stride
+    out = out.reshape(b, t * stride, c_out)
+    return out + up["bias"]
+
+
 def pack_generator_params(params: Params, cfg: VocoderConfig,
                           fused: bool = False,
                           fused_dtype=jnp.bfloat16,
@@ -103,6 +135,12 @@ def pack_generator_params(params: Params, cfg: VocoderConfig,
 
     params = dict(params)
     params["resblocks"] = [dict(rb) for rb in params["resblocks"]]
+    params["ups"] = [dict(up) for up in params["ups"]]
+    for up, u, k in zip(params["ups"], cfg.upsample_rates,
+                        cfg.upsample_kernel_sizes):
+        if k == 2 * u:
+            up["kernel_poly"] = jnp.asarray(
+                _pack_transposed_conv(up["kernel"], u))
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i in range(len(cfg.upsample_rates)):
         ch = cfg.upsample_initial_channel // (2 ** (i + 1))
@@ -215,8 +253,11 @@ def apply_generator(params: Params, mel: jnp.ndarray,
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = _lrelu(x)
         up = params["ups"][i]
-        x = conv_transpose1d(x, up["kernel"], up["bias"],
-                             stride=u, padding=(k - u) // 2)
+        if fast and "kernel_poly" in up:
+            x = _upsample_poly(x, up, u)
+        else:
+            x = conv_transpose1d(x, up["kernel"], up["bias"],
+                                 stride=u, padding=(k - u) // 2)
         ch, t_cur = x.shape[-1], x.shape[1]
         stage_rb0 = params["resblocks"][i * num_kernels]
         fused_ok = (fast and "fused_taps" in stage_rb0

@@ -54,3 +54,29 @@ def test_unpacked_params_fall_back_to_plain_path():
     mel = jnp.zeros((1, 8, 80), jnp.float32)
     out = apply_generator(voc, mel, cfg, fast=True)  # no packed kernels
     assert out.shape == (1, 8 * 256)
+
+
+def test_polyphase_transposed_conv_matches_conv_transpose():
+    """k=2u transposed conv == one k=3 conv emitting u packed phases +
+    sample-major reshape (models/hifigan.py:_pack_transposed_conv)."""
+    import jax
+    import jax.numpy as jnp
+
+    from expressive_fastspeech2_mandarin_tpu.models.hifigan import (
+        _pack_transposed_conv,
+        _upsample_poly,
+    )
+    from expressive_fastspeech2_mandarin_tpu.ops import conv_transpose1d
+
+    rng = np.random.default_rng(3)
+    for (u, k, cin, cout, t) in [(8, 16, 16, 8, 40), (2, 4, 12, 6, 33)]:
+        kern = rng.normal(size=(k, cin, cout)).astype(np.float32)
+        bias = rng.normal(size=(cout,)).astype(np.float32)
+        x = jnp.asarray(rng.normal(size=(2, t, cin)).astype(np.float32))
+        ref = conv_transpose1d(x, jnp.asarray(kern), jnp.asarray(bias),
+                               stride=u, padding=(k - u) // 2)
+        up = {"kernel_poly": jnp.asarray(_pack_transposed_conv(kern, u)),
+              "bias": jnp.asarray(bias)}
+        out = _upsample_poly(x, up, u)
+        assert out.shape == ref.shape
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
