@@ -8,6 +8,7 @@ Modes:
 from __future__ import annotations
 
 import argparse
+import os
 
 from .common import add_config_args, config_from_args
 
@@ -37,6 +38,9 @@ def main() -> None:
     ap.add_argument("--duration_control", type=float, default=1.0)
     ap.add_argument("--output_name", default=None)
     ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--stream_chunk_frames", type=int, default=0,
+                    help="single mode: >0 streams the vocoder in chunks of "
+                         "this many mel frames (incremental wav write)")
     args = ap.parse_args()
 
     if args.mode in ("single", "grid"):
@@ -62,6 +66,23 @@ def main() -> None:
 
     if args.mode == "single":
         name = args.output_name or f"synthesis_{args.speaker_id}_{args.emotion}"
+        if args.stream_chunk_frames > 0:
+            import numpy as np
+
+            from ..utils.wav import save_wav
+
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"{name}.wav")
+            chunks = []
+            for i, chunk in enumerate(synth.synthesize_streaming(
+                    args.text, args.speaker_id, args.emotion,
+                    chunk_frames=args.stream_chunk_frames, **controls)):
+                chunks.append(chunk)
+                print(f"chunk {i}: {len(chunk)} samples")
+            save_wav(path, np.concatenate(chunks),
+                     synth.cfg.preprocess.audio.sampling_rate)
+            print(path)
+            return
         results = synth.synthesize(
             [args.text], [args.speaker_id], [args.emotion],
             basenames=[name], vocoder=args.vocoder, **controls)

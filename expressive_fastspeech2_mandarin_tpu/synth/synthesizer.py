@@ -254,6 +254,9 @@ class Synthesizer:
             from ..models import apply_melgan
 
             wavs = np.asarray(jax.jit(apply_melgan)(self.melgan_params, mel))
+        elif vocoder == "none":
+            # Mel-only path (e.g. feeding the streaming vocoder).
+            wavs = np.zeros((n, mel.shape[1] * hop), np.float32)
         else:
             wavs = np.asarray(self.melstft.mel_to_audio(mel))
 
@@ -272,6 +275,45 @@ class Synthesizer:
                 sampling_rate=sr,
             ))
         return results
+
+    def synthesize_streaming(
+        self,
+        text: str,
+        speaker: str | int = 0,
+        emotion: str | int = "Neutral",
+        pitch_control: float = 1.0,
+        energy_control: float = 1.0,
+        duration_control: float = 1.0,
+        chunk_frames: int = 100,
+        max_mel_len: int | None = None,
+    ):
+        """Yield waveform chunks (np.float32 @ sampling_rate) as they are
+        vocoded — first-audio latency of one chunk instead of the whole
+        utterance. Beyond-reference capability; the concatenation equals the
+        non-streaming HiFi-GAN output exactly (synth/streaming.py)."""
+        from .streaming import vocode_streaming
+
+        if self.vocoder_params is None:
+            raise ValueError("streaming requires HiFi-GAN weights")
+        [result] = self.synthesize(
+            [text], [speaker], [emotion], pitch_control, energy_control,
+            duration_control, vocoder="none", max_mel_len=max_mel_len)
+        hop = self.cfg.preprocess.stft.hop_length
+        mel = jnp.asarray(result.mel)[None]
+        dtype = jnp.dtype(self.cfg.model.vocoder.compute_dtype)
+        params = self.vocoder_params
+        if dtype != jnp.float32:
+            params = jax.tree.map(lambda x: x.astype(dtype), params)
+            mel = mel.astype(dtype)
+        emitted = 0
+        total = result.mel.shape[0] * hop
+        for chunk in vocode_streaming(params, mel, self.cfg.model.vocoder,
+                                      chunk_frames=chunk_frames):
+            wav = np.asarray(chunk[0], np.float32)
+            take = min(len(wav), max(total - emitted, 0))
+            emitted += take
+            if take:
+                yield wav[:take]
 
     def save_results(self, results: list[SynthesisResult], out_dir: str,
                      tag: str | None = None) -> list[str]:

@@ -179,3 +179,44 @@ def test_param_count_around_28m(ref_setup):
 
     n = param_count(params)
     assert 25_000_000 < n < 40_000_000
+
+
+def test_long_form_synthesis_past_max_seq_len():
+    """Inference past max_seq_len regenerates the sinusoid tables at trace
+    time (reference: transformer/Models.py:82-87,145-151) instead of
+    clamping — long-form synthesis must produce finite mel of the requested
+    static length."""
+    import jax
+    import jax.numpy as jnp
+
+    from expressive_fastspeech2_mandarin_tpu.config import (
+        Config,
+        ModelConfig,
+        TransformerConfig,
+        VariancePredictorConfig,
+    )
+    from expressive_fastspeech2_mandarin_tpu.models import FastSpeech2
+
+    cfg = Config(model=ModelConfig(
+        transformer=TransformerConfig(
+            encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+            decoder_hidden=32, conv_filter_size=64, encoder_head=2,
+            decoder_head=2),
+        variance_predictor=VariancePredictorConfig(filter_size=32),
+        n_speakers=2, n_emotions=2, n_arousals=2, n_valences=2,
+        max_seq_len=64))
+    model = FastSpeech2(cfg.model, cfg.preprocess)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, s, t_long = 2, 90, 100  # both source and mel exceed max_seq_len=64
+    out, _ = model.apply(
+        params, bn_state,
+        jnp.asarray(rng.integers(0, 2, b), jnp.int32),
+        jnp.asarray(rng.integers(0, 2, b), jnp.int32),
+        jnp.asarray(rng.integers(0, 2, b), jnp.int32),
+        jnp.asarray(rng.integers(0, 2, b), jnp.int32),
+        jnp.asarray(rng.integers(4, 100, (b, s)), jnp.int32),
+        jnp.asarray(np.full(b, s), jnp.int32),
+        max_mel_len=t_long, deterministic=True)
+    assert out.postnet_mel.shape == (b, t_long, 80)
+    assert bool(jnp.all(jnp.isfinite(out.postnet_mel)))
