@@ -177,6 +177,16 @@ def train(cfg: Config, restore_step: int | None = None,
                 d = _report_dict(report)
                 d["steps_per_sec"] = logger.steps_per_sec
                 logger.log_losses(step, d)
+                # Failure detection (beyond the reference, which would train
+                # on silently): a non-finite loss saves an emergency
+                # checkpoint for post-mortem and aborts.
+                if not np.isfinite(d["total_loss"]):
+                    ckpt.save(step, state)
+                    logger.close()
+                    val_logger.close()
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {d} "
+                        f"(emergency checkpoint saved)")
             if crossed(val_every):
                 val_logger.log_losses(step, evaluate(eval_step, state,
                                                      val_ds, mesh))
