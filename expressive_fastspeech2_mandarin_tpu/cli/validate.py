@@ -60,7 +60,11 @@ def validate_textgrids(tg_root: str, report_path: str | None) -> dict:
     return out
 
 
-def validate_data(preprocessed_path: str) -> dict:
+def validate_data(preprocessed_path: str, fix: bool = False) -> dict:
+    """Consistency scan; ``fix=True`` rewrites train/val metadata without the
+    inconsistent utterances (the consolidated equivalent of the reference's
+    fix_duration_mismatch.py / fix_phoneme_encoding.py / fix_filelist.py
+    repair scripts — drop-bad-rows is what they ultimately did)."""
     import numpy as np
 
     from ..data import PreprocessedCorpus
@@ -69,12 +73,14 @@ def validate_data(preprocessed_path: str) -> dict:
     corpus = PreprocessedCorpus(preprocessed_path)
     problems = []
     n_checked = 0
+    dropped = {}
     unknown_phones: set[str] = set()
     for split in ("train.txt", "val.txt"):
         try:
             utts = corpus.metadata(split)
         except FileNotFoundError:
             continue
+        bad: set[str] = set()
         for utt in utts:
             phones = utt.phone_text.strip("{}").split()
             for p in phones:
@@ -87,28 +93,45 @@ def validate_data(preprocessed_path: str) -> dict:
                 energy = corpus.energy(utt)
             except FileNotFoundError as e:
                 problems.append(f"{utt.basename}: missing npy ({e})")
+                bad.add(utt.basename)
                 continue
             known = [p for p in phones if p in symbols.PINYIN_TO_ID]
             if len(d) != len(known):
                 problems.append(
                     f"{utt.basename}: {len(known)} known phones vs "
                     f"{len(d)} durations")
+                bad.add(utt.basename)
             if int(d.sum()) != mel.shape[0]:
                 problems.append(
                     f"{utt.basename}: sum(durations)={int(d.sum())} vs "
                     f"mel frames={mel.shape[0]}")
+                bad.add(utt.basename)
             if len(pitch) != len(d) or len(energy) != len(d):
                 problems.append(f"{utt.basename}: pitch/energy length "
                                 f"mismatch vs durations")
+                bad.add(utt.basename)
             if not np.isfinite(mel).all():
                 problems.append(f"{utt.basename}: non-finite mel values")
+                bad.add(utt.basename)
             n_checked += 1
-    return {
+        if fix and bad:
+            path = os.path.join(preprocessed_path, split)
+            with open(path, encoding="utf-8") as f:
+                lines = [ln for ln in f if ln.strip()]
+            kept = [ln for ln in lines if ln.split("|", 1)[0] not in bad]
+            os.replace(path, path + ".bak")
+            with open(path, "w", encoding="utf-8") as f:
+                f.writelines(kept)
+            dropped[split] = len(lines) - len(kept)
+    out = {
         "utterances_checked": n_checked,
         "problems": problems[:100],
         "problem_count": len(problems),
         "unknown_phones": sorted(unknown_phones),
     }
+    if fix:
+        out["dropped"] = dropped
+    return out
 
 
 def validate_checkpoint(ckpt_dir: str, cfg) -> dict:
@@ -150,6 +173,9 @@ def main() -> None:
 
     data = sub.add_parser("data")
     data.add_argument("--preprocessed-path", required=True)
+    data.add_argument("--fix", action="store_true",
+                      help="rewrite train/val metadata without inconsistent "
+                           "utterances (.bak kept)")
 
     ck = sub.add_parser("checkpoint")
     from .common import add_config_args
@@ -163,8 +189,8 @@ def main() -> None:
         print(json.dumps({k: v for k, v in out.items() if k != "phone_types"},
                          indent=2, ensure_ascii=False))
     elif args.cmd == "data":
-        print(json.dumps(validate_data(args.preprocessed_path), indent=2,
-                         ensure_ascii=False))
+        print(json.dumps(validate_data(args.preprocessed_path, fix=args.fix),
+                         indent=2, ensure_ascii=False))
     elif args.cmd == "checkpoint":
         from .common import config_from_args
 

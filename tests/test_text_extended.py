@@ -102,6 +102,20 @@ def test_validate_data_detects_mismatch(tmp_path):
     assert any("sum(durations)=5 vs mel frames=99" in p
                for p in report["problems"])
 
+    # A consistent second utterance must survive --fix; the bad one is
+    # dropped and the original is kept as .bak.
+    np.save(root / "duration" / "0001-duration-u2.npy", np.array([2, 3]))
+    np.save(root / "mel" / "0001-mel-u2.npy", np.zeros((5, 80), np.float32))
+    np.save(root / "pitch" / "0001-pitch-u2.npy", np.zeros(2, np.float32))
+    np.save(root / "energy" / "0001-energy-u2.npy", np.zeros(2, np.float32))
+    with open(root / "train.txt", "a") as f:
+        f.write("u2|0001|{b a}|raw|0001|x|Happy|0.8|0.8\n")
+    report = validate_data(str(root), fix=True)
+    assert report["dropped"] == {"train.txt": 1}
+    lines = open(root / "train.txt").read().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("u2|")
+    assert os.path.exists(root / "train.txt.bak")
+
 
 def test_korean_pronunciation_rules():
     """Native standard-pronunciation rule engine (g2pk fallback):
