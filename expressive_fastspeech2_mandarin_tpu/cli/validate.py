@@ -60,15 +60,25 @@ def validate_textgrids(tg_root: str, report_path: str | None) -> dict:
     return out
 
 
-def validate_data(preprocessed_path: str, fix: bool = False) -> dict:
+def validate_data(preprocessed_path: str, fix: bool = False,
+                  symbol_table: str = "pinyin") -> dict:
     """Consistency scan; ``fix=True`` rewrites train/val metadata without the
     inconsistent utterances (the consolidated equivalent of the reference's
     fix_duration_mismatch.py / fix_phoneme_encoding.py / fix_filelist.py
-    repair scripts — drop-bad-rows is what they ultimately did)."""
+    repair scripts — drop-bad-rows is what they ultimately did).
+
+    ``symbol_table`` is an inventory name ("pinyin", "ipa", a registered
+    custom name) or a path to a harvest JSON; pre-encoded integer metadata
+    (all-digit phones, reference dataset.py:60-70) is detected per-utterance
+    and compared by encoded ID count, never treated as unknown symbols."""
     import numpy as np
 
     from ..data import PreprocessedCorpus
     from ..text import symbols
+
+    if symbol_table.endswith(".json") or os.path.sep in symbol_table:
+        symbol_table = symbols.load_symbol_table(symbol_table)
+    table = symbols.get_symbol_table(symbol_table)
 
     corpus = PreprocessedCorpus(preprocessed_path)
     problems = []
@@ -83,9 +93,13 @@ def validate_data(preprocessed_path: str, fix: bool = False) -> dict:
         bad: set[str] = set()
         for utt in utts:
             phones = utt.phone_text.strip("{}").split()
-            for p in phones:
-                if p not in symbols.PINYIN_TO_ID:
-                    unknown_phones.add(p)
+            # Pre-encoded integer variant (same heuristic as
+            # Utterance.phone_ids): the field holds IDs, not symbols.
+            pre_encoded = bool(phones) and all(p.isdigit() for p in phones)
+            if not pre_encoded:
+                for p in phones:
+                    if p not in table:
+                        unknown_phones.add(p)
             try:
                 d = corpus.duration(utt)
                 mel = corpus.mel(utt)
@@ -95,7 +109,10 @@ def validate_data(preprocessed_path: str, fix: bool = False) -> dict:
                 problems.append(f"{utt.basename}: missing npy ({e})")
                 bad.add(utt.basename)
                 continue
-            known = [p for p in phones if p in symbols.PINYIN_TO_ID]
+            if pre_encoded:
+                known = phones
+            else:
+                known = [p for p in phones if p in table]
             if len(d) != len(known):
                 problems.append(
                     f"{utt.basename}: {len(known)} known phones vs "
@@ -176,6 +193,10 @@ def main() -> None:
     data.add_argument("--fix", action="store_true",
                       help="rewrite train/val metadata without inconsistent "
                            "utterances (.bak kept)")
+    data.add_argument("--symbol-table", default="pinyin",
+                      help="inventory name (pinyin/ipa/registered custom) or "
+                           "path to a harvest JSON; pre-encoded integer "
+                           "metadata is auto-detected")
 
     ck = sub.add_parser("checkpoint")
     from .common import add_config_args
@@ -189,7 +210,8 @@ def main() -> None:
         print(json.dumps({k: v for k, v in out.items() if k != "phone_types"},
                          indent=2, ensure_ascii=False))
     elif args.cmd == "data":
-        print(json.dumps(validate_data(args.preprocessed_path, fix=args.fix),
+        print(json.dumps(validate_data(args.preprocessed_path, fix=args.fix,
+                                       symbol_table=args.symbol_table),
                          indent=2, ensure_ascii=False))
     elif args.cmd == "checkpoint":
         from .common import config_from_args

@@ -100,6 +100,10 @@ def _pack_transposed_conv(kernel: np.ndarray, stride: int) -> np.ndarray:
     k, c_in, c_out = kernel.shape
     u = stride
     assert k == 2 * u, "polyphase packing assumes kernel_size == 2*stride"
+    # The phase split at r < u//2 and tap index r + u//2 - u*dt assume the
+    # transposed-conv padding (k-u)/2 equals exactly u/2, which requires an
+    # even stride; an odd u would pass the k==2u check but shift the audio.
+    assert u % 2 == 0, "polyphase packing assumes an even upsample rate"
     packed = np.zeros((3, c_in, u * c_out), kernel.dtype)
     for r in range(u):
         dts = (-1, 0) if r < u // 2 else (0, 1)
@@ -138,7 +142,7 @@ def pack_generator_params(params: Params, cfg: VocoderConfig,
     params["ups"] = [dict(up) for up in params["ups"]]
     for up, u, k in zip(params["ups"], cfg.upsample_rates,
                         cfg.upsample_kernel_sizes):
-        if k == 2 * u:
+        if k == 2 * u and u % 2 == 0:
             up["kernel_poly"] = jnp.asarray(
                 _pack_transposed_conv(up["kernel"], u))
     num_kernels = len(cfg.resblock_kernel_sizes)

@@ -54,6 +54,8 @@ def conv1d(
     if im2col and stride == 1 and groups == 1 and dilation == 1:
         c_in = kernel.shape[1]
         if k == 1:
+            if padding > 0:
+                x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
             out = jnp.einsum(
                 "btc,co->bto", x, kernel[0],
                 preferred_element_type=x.dtype)

@@ -143,12 +143,15 @@ def train(cfg: Config, restore_step: int | None = None,
 
     while step < total:
         for group in _chunks(train_ds.epoch(epoch)):
-            if step == cfg.train.profile_start_step:
-                jax.profiler.start_trace(profile_dir)
             prev_step = step
             group = group[: max(total - step, 0)]  # don't overshoot total
             if not group:
                 break
+            # Crossing check, not equality: with steps_per_call > 1 the host
+            # counter advances by the chunk size and can jump past the exact
+            # profile_start_step (same logic as the stop condition below).
+            if prev_step <= cfg.train.profile_start_step < step + len(group):
+                jax.profiler.start_trace(profile_dir)
             if len(group) == spc and spc > 1:
                 stacked = {k: np.stack([b[k] for b in group])
                            for k in group[0]}

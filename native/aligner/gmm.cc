@@ -236,19 +236,13 @@ void FmllrAccumulator::Resize(int d) {
 
 void FmllrAccumulator::Add(const DiagGmm& gmm, const float* x) {
   std::vector<float> post;
+  // ComponentPosteriors already returns normalized probabilities in [0,1]
+  // (it log-sum-exps and exponentiates internally); consume them directly
+  // as gammas, exactly like GmmAccumulator::Add above.
   gmm.ComponentPosteriors(x, &post);
-  // Normalize posteriors.
-  float mx = post[0];
-  for (float p : post) mx = std::max(mx, p);
-  double sum = 0.0;
-  for (float& p : post) {
-    p = std::exp(p - mx);
-    sum += p;
-  }
-  const double inv = 1.0 / sum;
   const int nc = gmm.NumComps();
   for (int c = 0; c < nc; ++c) {
-    const double gamma = post[c] * inv;
+    const double gamma = post[c];
     if (gamma < 1e-6) continue;
     const float* mu = &gmm.means[size_t(c) * dim];
     const float* iv = &gmm.inv_vars[size_t(c) * dim];

@@ -117,6 +117,42 @@ def test_validate_data_detects_mismatch(tmp_path):
     assert os.path.exists(root / "train.txt.bak")
 
 
+def test_validate_data_pre_encoded_and_custom_table(tmp_path):
+    """Pre-encoded integer metadata (reference dataset.py:60-70) must not be
+    reported as unknown phones or dropped by --fix (ADVICE round 1), and a
+    custom symbol table name must be honored."""
+    from expressive_fastspeech2_mandarin_tpu.cli.validate import validate_data
+
+    root = tmp_path / "pre"
+    for sub in ("mel", "pitch", "energy", "duration"):
+        os.makedirs(root / sub)
+    json.dump({"0001": 0}, open(root / "speakers.json", "w"))
+    json.dump({"emotion_dict": {"Happy": 0}, "arousal_dict": {"0.8": 0},
+               "valence_dict": {"0.8": 0}}, open(root / "emotions.json", "w"))
+    json.dump({"pitch": [0, 1, 0, 1], "energy": [0, 1, 0, 1]},
+              open(root / "stats.json", "w"))
+    np.save(root / "duration" / "0001-duration-u1.npy", np.array([2, 3]))
+    np.save(root / "mel" / "0001-mel-u1.npy", np.zeros((5, 80), np.float32))
+    np.save(root / "pitch" / "0001-pitch-u1.npy", np.zeros(2, np.float32))
+    np.save(root / "energy" / "0001-energy-u1.npy", np.zeros(2, np.float32))
+    with open(root / "train.txt", "w") as f:
+        f.write("u1|0001|{64 65}|raw|0001|x|Happy|0.8|0.8\n")
+    report = validate_data(str(root), fix=True)
+    assert report["utterances_checked"] == 1
+    assert report["problem_count"] == 0
+    assert report["unknown_phones"] == []
+    assert report["dropped"] == {}
+
+    # Custom table: phones known to an IPA table must not be "unknown"
+    # when the table is passed, and vice versa for the default.
+    with open(root / "train.txt", "w") as f:
+        f.write("u1|0001|{@a\u02e5\u02e9 @m}|raw|0001|x|Happy|0.8|0.8\n")
+    report = validate_data(str(root), symbol_table="ipa")
+    assert report["unknown_phones"] == []
+    report = validate_data(str(root), symbol_table="pinyin")
+    assert set(report["unknown_phones"]) == {"@a\u02e5\u02e9", "@m"}
+
+
 def test_korean_pronunciation_rules():
     """Native standard-pronunciation rule engine (g2pk fallback):
     palatalization, aspiration, nasalization, lateralization, liaison,
