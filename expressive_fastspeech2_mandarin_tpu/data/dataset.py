@@ -7,8 +7,18 @@ an XLA recompile per batch, so here batches are padded to a small fixed set
 of (src_bucket, mel_bucket) shape pairs (config ``BucketConfig``): same
 locality benefit, bounded compile count.
 
-Per-host sharding for multi-host data parallelism: each process takes the
-``process_index``-th strided slice of the shuffled batch list.
+Per-host sharding for multi-host data parallelism (two modes):
+
+* ``shard_rows=True`` (the training-path mode): every host enumerates the
+  SAME global batch list deterministically (seeded shuffle), computes bucket
+  shapes from the full batch, and collates only its own contiguous row
+  slice. The per-host arrays are then assembled into one global
+  ``(batch, ...)`` array with ``jax.make_array_from_process_local_data``
+  (parallel/mesh.py shard_batch) — standard multi-host data parallelism
+  where ``batch_size`` is the *global* batch size.
+* ``shard_rows=False`` (legacy): the ``process_index``-th strided slice of
+  the batch list (each host sees disjoint whole batches; only correct for
+  embarrassingly parallel offline jobs, not for a global-mesh train step).
 """
 
 from __future__ import annotations
@@ -55,6 +65,7 @@ class BucketedDataset:
         num_shards: int = 1,
         shard_index: int = 0,
         symbol_table: str = "pinyin",
+        shard_rows: bool = False,
     ):
         self.corpus = corpus
         self.batch_size = batch_size
@@ -64,6 +75,11 @@ class BucketedDataset:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.symbol_table = symbol_table
+        self.shard_rows = shard_rows
+        if shard_rows and batch_size % num_shards:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"{num_shards} hosts (row sharding)")
 
         lengths = corpus.lengths(filename)
         self.examples: list[Example] = []
@@ -110,13 +126,21 @@ class BucketedDataset:
                 idx = np.concatenate(
                     [idx, idx[np.zeros(self.batch_size - len(idx), np.int64)]])
             batches.append([self.examples[j] for j in idx])
+        if self.shard_rows:
+            return batches  # every host sees the full list; rows sliced in _collate
         return batches[self.shard_index:: self.num_shards]
 
     def _collate(self, batch: list[Example]) -> dict[str, np.ndarray]:
+        # Bucket shapes come from the FULL (global) batch so all hosts agree
+        # on static shapes even when each collates only its own row slice.
         src_bucket = pick_bucket(max(e.src_len for e in batch),
                                  self.buckets.src_buckets)
         mel_bucket = pick_bucket(max(e.mel_len for e in batch),
                                  self.buckets.mel_buckets)
+        if self.shard_rows and self.num_shards > 1:
+            rows = len(batch) // self.num_shards
+            batch = batch[self.shard_index * rows:
+                          (self.shard_index + 1) * rows]
         b = len(batch)
         out = {
             "speakers": np.array([e.speaker_id for e in batch], np.int32),

@@ -59,14 +59,24 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def _place(x, sh: NamedSharding):
+    """Single process: device_put the global value. Multi-process: each host
+    holds only its row slice (BucketedDataset shard_rows mode), so assemble
+    the global array from process-local data — ``jax.device_put`` would
+    wrongly treat each host's slice as the whole global value."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place every array in the batch with its batch dim on the data axis."""
     sh = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _place(x, sh), batch)
 
 
 def shard_batch_chunk(mesh: Mesh, batches: dict) -> dict:
     """Shard a stacked (n_steps, batch, ...) chunk: scan axis replicated,
     batch axis on the data axis."""
     sh = NamedSharding(mesh, P(None, "data"))
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batches)
+    return jax.tree.map(lambda x: _place(x, sh), batches)

@@ -68,16 +68,24 @@ def train(cfg: Config, restore_step: int | None = None,
     mesh = mesh_for_batch(cfg.train.optimizer.batch_size,
                           cfg.train.mesh.model_parallel_size)
     n_hosts = jax.process_count()
+    if n_hosts > 1 and cfg.train.optimizer.batch_size % mesh.devices.shape[0]:
+        raise ValueError(
+            f"multi-host: global batch {cfg.train.optimizer.batch_size} must "
+            f"divide evenly over the {mesh.devices.shape[0]}-way data axis")
+    # batch_size is the GLOBAL batch; every host enumerates the same batch
+    # list and collates only its own row slice (shard_rows), assembled into
+    # global arrays by shard_batch via make_array_from_process_local_data.
     train_ds = BucketedDataset(
         corpus, "train.txt", cfg.train.optimizer.batch_size,
         cfg.train.buckets, cfg.model.max_seq_len, drop_last=True,
         seed=cfg.train.seed, num_shards=n_hosts,
-        shard_index=jax.process_index(),
+        shard_index=jax.process_index(), shard_rows=True,
         symbol_table=cfg.preprocess.symbol_table)
     val_ds = BucketedDataset(
         corpus, "val.txt", cfg.train.optimizer.batch_size,
         cfg.train.buckets, cfg.model.max_seq_len, seed=cfg.train.seed,
-        symbol_table=cfg.preprocess.symbol_table)
+        num_shards=n_hosts, shard_index=jax.process_index(),
+        shard_rows=True, symbol_table=cfg.preprocess.symbol_table)
 
     params, bn_state = model.init(jax.random.PRNGKey(cfg.train.seed))
     tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
@@ -87,9 +95,17 @@ def train(cfg: Config, restore_step: int | None = None,
     if restore_step is not None or ckpt.latest_step() is not None:
         state = ckpt.restore(state, restore_step)
         print(f"restored checkpoint at step {int(state.step)}")
+    if n_hosts > 1:
+        # Commit the (host-identical) state to the global mesh as replicated
+        # arrays; multi-process jit requires global inputs, and leaving them
+        # process-local would make the donation/placement undefined.
+        from ..parallel.mesh import replicated
 
+        state = jax.device_put(state, replicated(mesh))
+
+    is_main = jax.process_index() == 0
     logger = TrainLogger(os.path.join(cfg.train.path.log_path or "output/log",
-                                      "train"))
+                                      "train"), use_tensorboard=is_main)
     val_logger = TrainLogger(os.path.join(
         cfg.train.path.log_path or "output/log", "val"), use_tensorboard=False)
 
@@ -179,7 +195,8 @@ def train(cfg: Config, restore_step: int | None = None,
             if crossed(log_every):
                 d = _report_dict(report)
                 d["steps_per_sec"] = logger.steps_per_sec
-                logger.log_losses(step, d)
+                if is_main:
+                    logger.log_losses(step, d)
                 # Failure detection (beyond the reference, which would train
                 # on silently): a non-finite loss saves an emergency
                 # checkpoint for post-mortem and aborts.
@@ -191,9 +208,12 @@ def train(cfg: Config, restore_step: int | None = None,
                         f"non-finite loss at step {step}: {d} "
                         f"(emergency checkpoint saved)")
             if crossed(val_every):
-                val_logger.log_losses(step, evaluate(eval_step, state,
-                                                     val_ds, mesh))
-            if crossed(synth_every):
+                # evaluate() is a collective (all hosts participate in the
+                # global-mesh eval steps); only the main host logs.
+                val_losses = evaluate(eval_step, state, val_ds, mesh)
+                if is_main:
+                    val_logger.log_losses(step, val_losses)
+            if crossed(synth_every) and is_main:
                 _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
                               _synth_cache)
             if crossed(save_every):
@@ -220,8 +240,14 @@ def _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
             cache[mel_bucket] = make_synth_step(model, cfg,
                                                 max_mel_len=mel_bucket)
         synth = cache[mel_bucket]
-        mel_pred, mel_lens, durations = synth(state.params, state.bn_state,
-                                              batch)
+        params, bn_state = state.params, state.bn_state
+        if jax.process_count() > 1:
+            # Only the main host synthesizes: global (replicated) arrays in
+            # a jit call would be a collective all hosts must join, so pull
+            # the replicated values host-local first.
+            params = jax.tree.map(np.asarray, params)
+            bn_state = jax.tree.map(np.asarray, bn_state)
+        mel_pred, mel_lens, durations = synth(params, bn_state, batch)
         i = 0
         t_pred = int(mel_lens[i])
         t_gt = int(batch["mel_lens"][i])
