@@ -118,6 +118,10 @@ class VocoderConfig:
     # Inference compute dtype: "bfloat16" (production; ~4e-4 waveform error,
     # 1.7x faster with lane packing) or "float32" (parity runs).
     compute_dtype: str = "bfloat16"
+    # Torch generator checkpoint (e.g. generator_universal.pth.tar) used for
+    # train/eval sample vocoding (reference: utils/model.py:63-65) and by
+    # the synthesis CLI; empty -> Griffin-Lim fallback.
+    ckpt_path: str = ""
 
 
 @dataclass(frozen=True)
@@ -305,6 +309,7 @@ def model_config_from_dict(d: dict[str, Any], **overrides) -> ModelConfig:
         vocoder=VocoderConfig(
             model=vo.get("model", "HiFi-GAN"),
             speaker=vo.get("speaker", "universal"),
+            ckpt_path=vo.get("ckpt_path", ""),
         ),
     )
     kwargs.update(overrides)

@@ -43,9 +43,15 @@ def _report_dict(report: LossReport) -> dict[str, float]:
 
 
 def evaluate(eval_step, state: TrainState, val_ds: BucketedDataset,
-             mesh) -> dict[str, float]:
+             mesh, sample_ctx: dict | None = None,
+             step: int | None = None) -> dict[str, float]:
     """Sample-weighted loss means over the full val set
-    (reference: evaluate.py:18-55)."""
+    (reference: evaluate.py:18-55).
+
+    With ``sample_ctx`` (main host only), also logs one GT-vs-pred
+    spectrogram figure plus vocoded reconstruction/prediction audio, like
+    the reference eval (reference: evaluate.py:57-84).
+    """
     sums = np.zeros(6)
     count = 0
     for batch in val_ds.epoch(0, shuffle=False):
@@ -57,6 +63,9 @@ def evaluate(eval_step, state: TrainState, val_ds: BucketedDataset,
     means = sums / max(count, 1)
     keys = ("total_loss", "mel_loss", "mel_postnet_loss", "pitch_loss",
             "energy_loss", "duration_loss")
+    if sample_ctx is not None:
+        _synth_sample(state=state, step=step or int(state.step),
+                      tag="eval", **sample_ctx)
     return dict(zip(keys, means))
 
 
@@ -132,6 +141,15 @@ def train(cfg: Config, restore_step: int | None = None,
     step = int(state.step)
     epoch = 0
     _synth_cache: dict[int, object] = {}
+    sampler = None
+    if is_main:
+        from .sampling import SampleVocoder
+
+        sampler = SampleVocoder(cfg)
+        print(f"sample vocoder: {sampler.kind}")
+    sample_ctx = (dict(model=model, cfg=cfg, val_ds=val_ds, corpus=corpus,
+                       logger=logger, cache=_synth_cache, sampler=sampler)
+                  if is_main else None)
 
     def _chunks(batches):
         """Group consecutive same-bucket batches into lax.scan chunks of
@@ -209,13 +227,14 @@ def train(cfg: Config, restore_step: int | None = None,
                         f"(emergency checkpoint saved)")
             if crossed(val_every):
                 # evaluate() is a collective (all hosts participate in the
-                # global-mesh eval steps); only the main host logs.
-                val_losses = evaluate(eval_step, state, val_ds, mesh)
+                # global-mesh eval steps); only the main host logs+samples.
+                val_losses = evaluate(eval_step, state, val_ds, mesh,
+                                      sample_ctx=sample_ctx, step=step)
                 if is_main:
                     val_logger.log_losses(step, val_losses)
             if crossed(synth_every) and is_main:
                 _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
-                              _synth_cache)
+                              _synth_cache, sampler=sampler, tag="train")
             if crossed(save_every):
                 ckpt.save(step, state)
             if step >= total:
@@ -229,9 +248,10 @@ def train(cfg: Config, restore_step: int | None = None,
 
 
 def _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
-                  cache: dict | None = None):
+                  cache: dict | None = None, sampler=None, tag="val"):
     """One GT-vs-predicted spectrogram figure (reference:
-    utils/tools.py:170-222); audio via Griffin-Lim when no vocoder."""
+    utils/tools.py:170-222); audio via the configured HiFi-GAN sample
+    vocoder (reference: utils/tools.py:204-218), Griffin-Lim fallback."""
     try:
         batch = next(val_ds.epoch(0, shuffle=False))
         mel_bucket = batch["mels"].shape[1]
@@ -261,26 +281,24 @@ def _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
             [(np.asarray(mel_pred[i, :max(t_pred, 1)]).T, pitch, energy),
              (batch["mels"][i, :t_gt].T, pitch, energy)],
             stats, ["Synthesized", "Ground truth"])
-        logger.log_figure("val/spectrogram", fig, step)
+        logger.log_figure(f"{tag}/spectrogram", fig, step)
         out_dir = os.path.join(cfg.train.path.result_path or "output/result",
                                "train_samples")
         os.makedirs(out_dir, exist_ok=True)
         save_mel_plot(os.path.join(out_dir, f"step{step}.png"),
                       [(np.asarray(mel_pred[i, :max(t_pred, 1)]).T, None, None)],
                       None, ["Synthesized"])
-        # GT reconstruction + prediction audio (Griffin-Lim; the reference
-        # uses the HiFi-GAN vocoder here, utils/tools.py:204-218).
+        # GT reconstruction + prediction audio through the sample vocoder
+        # (reference: utils/tools.py:204-218, evaluate.py:57-84).
         if t_pred > 4 and t_gt > 4:
-            from ..dsp import MelSTFT
+            if sampler is None:
+                from .sampling import SampleVocoder
 
-            stft = MelSTFT(cfg.preprocess.stft, cfg.preprocess.mel,
-                           cfg.preprocess.audio.sampling_rate)
-            wav_pred = np.asarray(stft.mel_to_audio(
-                mel_pred[i:i + 1, :t_pred], n_iters=20))[0]
-            wav_gt = np.asarray(stft.mel_to_audio(
-                batch["mels"][i:i + 1, :t_gt], n_iters=20))[0]
+                sampler = SampleVocoder(cfg)
+            wav_pred = sampler.vocode(np.asarray(mel_pred[i]), t_pred)
+            wav_gt = sampler.vocode(batch["mels"][i], t_gt)
             sr = cfg.preprocess.audio.sampling_rate
-            logger.log_audio("val/audio_predicted", wav_pred, sr, step)
-            logger.log_audio("val/audio_reconstructed", wav_gt, sr, step)
+            logger.log_audio(f"{tag}/audio_predicted", wav_pred, sr, step)
+            logger.log_audio(f"{tag}/audio_reconstructed", wav_gt, sr, step)
     except Exception as e:  # sample synthesis must never kill training
         print(f"synth sample at step {step} failed: {e}")
