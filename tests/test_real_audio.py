@@ -97,3 +97,34 @@ def test_full_feature_extraction_on_real_speech(speech, tmp_path):
     assert mel.shape == (int(d.sum()), 80)
     assert len(pitch) == 9  # phoneme-averaged
     assert (pitch > 0).any()
+
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "golden_0001_000001.npz")
+
+
+def test_golden_mel_energy_f0_regression(speech):
+    """Frozen regression anchors (VERDICT r1 item 8): mel/energy/F0 on the
+    real fixture wav, recorded from the round-2 implementation. The native
+    C++ pitch backend and any DSP edit must not drift from these. pyworld
+    itself is not installable here (dsp/pitch.py docstring), so this anchor
+    — not bit-parity with PyWORLD — is the strongest available pin
+    (reference semantics: preprocessor/preprocessor.py:256-270)."""
+    from expressive_fastspeech2_mandarin_tpu.config import MelConfig, STFTConfig
+    from expressive_fastspeech2_mandarin_tpu.dsp import MelSTFT, estimate_f0
+
+    g = np.load(GOLDEN)
+    assert speech.shape[0] == int(g["n_samples"])
+
+    stft = MelSTFT(STFTConfig(), MelConfig(), 22050)
+    mel, energy = stft.mel_energy(np.clip(speech, -1, 1)[None, :])
+    np.testing.assert_allclose(np.asarray(mel)[0], g["mel"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(energy)[0], g["energy"],
+                               rtol=2e-4, atol=2e-4)
+
+    f0 = estimate_f0(speech.astype(np.float64), 22050, 256)
+    # Voicing decisions must match exactly; voiced F0 within 0.5 Hz.
+    np.testing.assert_array_equal(f0 > 0, g["f0"] > 0)
+    v = g["f0"] > 0
+    np.testing.assert_allclose(f0[v], g["f0"][v], atol=0.5)
