@@ -47,10 +47,16 @@ def align_corpus(
     threads: int | None = None,
     timeout: float = 7200.0,
     speaker_adapt: bool = True,
+    triphone: bool = True,
+    lexicon: str | None = None,
+    extra_args: list[str] | None = None,
 ) -> str:
     """Train (or load) the acoustic model and force-align the corpus,
     writing MFA-style TextGrids under ``out_dir/<speaker>/``.
 
+    ``triphone=False`` stops after the monophone(+fMLLR) stage; ``lexicon``
+    is an MFA-format pronunciation dictionary consulted before the built-in
+    pinyin decomposition (reference: MFA dictionary path of ``mfa align``).
     Returns the aligner's stderr log.
     """
     binary = ensure_built()
@@ -58,6 +64,12 @@ def align_corpus(
            "--iters", str(iters), "--mix-up", str(mix_up)]
     if not speaker_adapt:
         cmd += ["--no-adapt"]
+    if not triphone:
+        cmd += ["--no-triphone"]
+    if lexicon:
+        cmd += ["--lexicon", lexicon]
+    if extra_args:
+        cmd += list(extra_args)
     if model_path:
         cmd += ["--model", model_path]
     if threads:

@@ -20,6 +20,8 @@ BUILTIN_PINYIN: dict[str, str] = {
     "一": "yi", "二": "er", "三": "san", "四": "si", "五": "wu", "六": "liu",
     "七": "qi", "八": "ba", "九": "jiu", "十": "shi", "百": "bai", "千": "qian",
     "万": "wan", "零": "ling", "两": "liang",
+    "确": "que", "丽": "li", "魑": "chi", "魅": "mei", "魍": "wang",
+    "魉": "liang",
     "我": "wo", "你": "ni", "他": "ta", "她": "ta", "它": "ta", "们": "men",
     "的": "de", "了": "le", "是": "shi", "在": "zai", "有": "you", "和": "he",
     "不": "bu", "人": "ren", "这": "zhe", "那": "na", "个": "ge", "上": "shang",

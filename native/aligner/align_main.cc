@@ -18,8 +18,10 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cctype>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <dirent.h>
 #include <fstream>
@@ -31,14 +33,51 @@
 #include <thread>
 #include <vector>
 
+#include <unordered_map>
+
 #include "gmm.h"
 #include "hmm.h"
 #include "mfcc.h"
 #include "pinyin.h"
+#include "tree.h"
 #include "wav.h"
 
 namespace efs2 {
 namespace {
+
+using Lexicon = std::unordered_map<std::string, std::vector<std::string>>;
+
+// MFA-format pronunciation dictionary: "word [prob...] phone phone ..."
+// (reference: MFA dictionary format, e.g.
+// MFA/tests/data/dictionaries/english_us_mfa_reduced.dict; our own
+// lexicon/mandarin_pinyin.dict is "word<TAB>phones"). Numeric fields after
+// the word (pronunciation/silence probabilities) are skipped. First
+// pronunciation of a word wins.
+Lexicon LoadLexicon(const std::string& path) {
+  Lexicon lex;
+  std::ifstream in(path);
+  std::string line;
+  while (std::getline(in, line)) {
+    std::istringstream iss(line);
+    std::string word;
+    if (!(iss >> word)) continue;
+    std::vector<std::string> toks, phones;
+    std::string t;
+    while (iss >> t) toks.push_back(t);
+    bool in_probs = true;
+    for (const auto& tok : toks) {
+      if (in_probs) {
+        char* end = nullptr;
+        std::strtod(tok.c_str(), &end);
+        if (end && *end == '\0') continue;  // numeric → probability column
+        in_probs = false;
+      }
+      phones.push_back(tok);
+    }
+    if (!phones.empty() && !lex.count(word)) lex[word] = phones;
+  }
+  return lex;
+}
 
 struct Utterance {
   std::string speaker;
@@ -77,7 +116,8 @@ void MkDirs(const std::string& path) {
   }
 }
 
-std::vector<Utterance> ScanCorpus(const std::string& corpus) {
+std::vector<Utterance> ScanCorpus(const std::string& corpus,
+                                  const Lexicon& lexicon) {
   std::vector<Utterance> utts;
   for (const auto& speaker : ListDir(corpus)) {
     std::string spk_dir = corpus + "/" + speaker;
@@ -97,6 +137,19 @@ std::vector<Utterance> ScanCorpus(const std::string& corpus) {
       std::istringstream iss(text);
       std::string syl;
       while (iss >> syl) {
+        // Explicit lexicon first (words of any language), pinyin
+        // initial/final decomposition as the fallback.
+        auto it = lexicon.find(syl);
+        if (it == lexicon.end()) {
+          std::string lower = syl;
+          std::transform(lower.begin(), lower.end(), lower.begin(),
+                         [](unsigned char c) { return std::tolower(c); });
+          it = lexicon.find(lower);
+        }
+        if (it != lexicon.end()) {
+          u.words.push_back(it->second);
+          continue;
+        }
         auto ph = PinyinToPhonemes(syl);
         if (!ph.empty()) u.words.push_back(ph);
       }
@@ -171,32 +224,49 @@ void WriteTextGridFile(const std::string& path, const Utterance& u,
 
 int Run(int argc, char** argv) {
   std::string mode = argc > 1 ? argv[1] : "";
-  std::string corpus, out_dir, model_path;
+  std::string corpus, out_dir, model_path, lexicon_path;
   int iters = 8, threads = int(std::thread::hardware_concurrency());
   int mix_up = 4;
-  bool adapt = true;  // fMLLR-style speaker adaptation between passes
+  bool adapt = true;      // fMLLR-style speaker adaptation between passes
+  bool triphone = true;   // tied-state triphone second stage
+  int tri_iters = 6, tri_mix_up = 8;
+  TriphoneBuildOptions tri_opts;
   for (int i = 2; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(i + 1 < argc ? argv[++i] : ""); };
     if (a == "--corpus") corpus = next();
     else if (a == "--out") out_dir = next();
     else if (a == "--model") model_path = next();
+    else if (a == "--lexicon") lexicon_path = next();
     else if (a == "--iters") iters = std::stoi(next());
     else if (a == "--mix-up") mix_up = std::stoi(next());
     else if (a == "--threads") threads = std::stoi(next());
     else if (a == "--no-adapt") adapt = false;
+    else if (a == "--no-triphone") triphone = false;
+    else if (a == "--tri-iters") tri_iters = std::stoi(next());
+    else if (a == "--tri-mix-up") tri_mix_up = std::stoi(next());
+    else if (a == "--tri-min-gain") tri_opts.min_gain = std::stof(next());
+    else if (a == "--tri-min-count") tri_opts.min_count = std::stof(next());
+    else if (a == "--tri-max-leaves") tri_opts.max_leaves = std::stoi(next());
   }
   if ((mode != "align" && mode != "train") || corpus.empty() ||
       (mode == "align" && out_dir.empty())) {
     std::fprintf(stderr,
                  "usage: efs2-aligner {align|train} --corpus DIR "
-                 "[--out DIR] [--model FILE] [--iters N] [--mix-up M] "
-                 "[--threads N]\n");
+                 "[--out DIR] [--model FILE] [--lexicon FILE] [--iters N] "
+                 "[--mix-up M] [--threads N] [--no-adapt] [--no-triphone] "
+                 "[--tri-iters N] [--tri-mix-up M] [--tri-min-gain G] "
+                 "[--tri-min-count C] [--tri-max-leaves L]\n");
     return 2;
   }
   threads = std::max(threads, 1);
 
-  auto utts = ScanCorpus(corpus);
+  Lexicon lexicon;
+  if (!lexicon_path.empty()) {
+    lexicon = LoadLexicon(lexicon_path);
+    std::fprintf(stderr, "lexicon: %zu entries\n", lexicon.size());
+  }
+  auto utts = ScanCorpus(corpus, lexicon);
   std::fprintf(stderr, "corpus: %zu utterances\n", utts.size());
   if (utts.empty()) return 1;
 
@@ -321,8 +391,6 @@ int Run(int argc, char** argv) {
     if (!model_path.empty()) WriteGmms(model_path, model.phones, model.gmms);
   }
 
-  if (mode == "train") return 0;
-
   // ---- Speaker-adaptive second pass (diagonal fMLLR): first-pass align,
   // per-speaker transform estimation, features transformed in place — the
   // native equivalent of MFA's align → calc_fmllr → align
@@ -378,12 +446,184 @@ int Run(int argc, char** argv) {
                  mean_dev / std::max(1, n_spk * dim));
   }
 
+  // ---- Tied-state triphone stage (reference: MFA's mono→triphone chain,
+  // MFA/montreal_forced_aligner/acoustic_modeling/triphone.py): contexts
+  // come from the written segment sequence; trees per (phone, state) with
+  // auto-generated questions; leaf GMMs re-estimated by Viterbi-EM.
+  const int n_phones = int(model.phones.size());
+  const int sil_id = model.phone_ids.count("sil") ? model.phone_ids["sil"] : 0;
+  auto tri_seg_pdfs = [&](const TriphoneTree& tr,
+                          const std::vector<Segment>& segs) {
+    std::vector<int> out(segs.size() * kStatesPerPhone);
+    for (size_t s = 0; s < segs.size(); ++s) {
+      int left = s > 0 ? segs[s - 1].phone : sil_id;
+      int right = s + 1 < segs.size() ? segs[s + 1].phone : sil_id;
+      for (int k = 0; k < kStatesPerPhone; ++k)
+        out[s * kStatesPerPhone + k] = tr.Lookup(segs[s].phone, k, left,
+                                                 right);
+    }
+    return out;
+  };
+
+  TriphoneTree tree;
+  std::vector<DiagGmm> tri_pdfs;
+  bool have_tri = false;
+  if (!model_path.empty() && have_model) {
+    FILE* f = std::fopen((model_path + ".tri").c_str(), "rb");
+    if (f) {
+      have_tri = ReadTree(f, &tree) && ReadGmmList(f, &tri_pdfs);
+      std::fclose(f);
+      if (have_tri)
+        std::fprintf(stderr, "loaded triphone model (%d tied states)\n",
+                     tree.n_pdfs);
+    }
+  }
+
+  if (triphone && !have_tri) {
+    // Context stats from a monophone alignment pass.
+    const int n_roots = n_phones * kStatesPerPhone;
+    std::vector<std::vector<std::unordered_map<long long, ContextStats>>>
+        wstats(threads);
+    for (auto& ws : wstats) ws.resize(n_roots);
+    ParallelFor(int(utts.size()), threads, [&](int i, int w) {
+      auto& u = utts[i];
+      std::vector<AlignedSegment> segs;
+      float ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
+      if (!std::isfinite(ll)) return;
+      for (size_t s = 0; s < segs.size(); ++s) {
+        int len = segs[s].end_frame - segs[s].start_frame;
+        if (len <= 0) continue;
+        int left = s > 0 ? u.segments[s - 1].phone : sil_id;
+        int right = s + 1 < segs.size() ? u.segments[s + 1].phone : sil_id;
+        long long key = (long long)left * n_phones + right;
+        for (int t = segs[s].start_frame; t < segs[s].end_frame; ++t) {
+          if (t >= u.feats.rows) break;
+          int k = (t - segs[s].start_frame) * kStatesPerPhone / len;
+          auto& cs = wstats[w][segs[s].phone * kStatesPerPhone + k][key];
+          if (cs.sum.empty()) {
+            cs.left = left;
+            cs.right = right;
+            cs.sum.assign(dim, 0.0);
+            cs.sum2.assign(dim, 0.0);
+          }
+          const float* x = u.feats.Row(t);
+          cs.count += 1;
+          for (int d = 0; d < dim; ++d) {
+            cs.sum[d] += x[d];
+            cs.sum2[d] += double(x[d]) * x[d];
+          }
+        }
+      }
+    });
+    std::vector<std::vector<ContextStats>> stats(n_roots);
+    for (int r = 0; r < n_roots; ++r) {
+      std::unordered_map<long long, ContextStats> merged;
+      for (int w = 0; w < threads; ++w)
+        for (auto& [key, cs] : wstats[w][r]) {
+          auto& m = merged[key];
+          if (m.sum.empty()) {
+            m = cs;
+          } else {
+            m.count += cs.count;
+            for (int d = 0; d < dim; ++d) {
+              m.sum[d] += cs.sum[d];
+              m.sum2[d] += cs.sum2[d];
+            }
+          }
+        }
+      stats[r].reserve(merged.size());
+      for (auto& [key, cs] : merged) stats[r].push_back(std::move(cs));
+    }
+
+    // Questions from monophone mid-state means (weighted over components).
+    std::vector<std::vector<float>> phone_means(n_phones,
+                                                std::vector<float>(dim, 0));
+    for (int p = 0; p < n_phones; ++p) {
+      const DiagGmm& g = model.gmms[model.PdfId(p, 1)];
+      for (int c = 0; c < g.NumComps(); ++c)
+        for (int d = 0; d < dim; ++d)
+          phone_means[p][d] += g.weights[c] * g.means[size_t(c) * dim + d];
+    }
+    auto questions = GenerateQuestions(phone_means);
+
+    std::vector<char> ctx_ind(n_phones, 0);
+    for (int p = 0; p < n_phones; ++p)
+      if (model.phones[p] == "sil" || model.phones[p] == "sp") ctx_ind[p] = 1;
+
+    tree = BuildTree(n_phones, kStatesPerPhone, dim, stats, ctx_ind,
+                     questions, tri_opts, &tri_pdfs);
+    std::fprintf(stderr,
+                 "triphone tree: %d tied states from %d roots "
+                 "(%zu questions)\n",
+                 tree.n_pdfs, n_roots, questions.size());
+
+    // Viterbi-EM re-estimation of the tied-state GMMs.
+    for (int iter = 0; iter < tri_iters; ++iter) {
+      std::vector<std::vector<GmmAccumulator>> worker_accs(threads);
+      for (auto& wa : worker_accs) {
+        wa.resize(tree.n_pdfs);
+        for (int p = 0; p < tree.n_pdfs; ++p)
+          wa[p].Resize(tri_pdfs[p].NumComps(), dim);
+      }
+      std::atomic<long long> frames_done(0);
+      double total_ll = 0;
+      std::mutex tri_mu;
+      ParallelFor(int(utts.size()), threads, [&](int i, int w) {
+        auto& u = utts[i];
+        if (u.feats.rows < int(u.segments.size())) return;
+        auto pdf_tab = tri_seg_pdfs(tree, u.segments);
+        std::vector<AlignedSegment> segs;
+        float ll = ViterbiAlignCd(tri_pdfs, pdf_tab, u.segments, u.feats,
+                                  0.6f, &segs);
+        if (!std::isfinite(ll)) return;
+        std::vector<int> pdfs;
+        AlignmentToPdfIdsCd(pdf_tab, segs, &pdfs);
+        for (int t = 0; t < int(pdfs.size()) && t < u.feats.rows; ++t)
+          if (pdfs[t] >= 0)
+            worker_accs[w][pdfs[t]].Add(tri_pdfs[pdfs[t]], u.feats.Row(t),
+                                        1.0f);
+        frames_done.fetch_add(u.feats.rows);
+        std::lock_guard<std::mutex> lk(tri_mu);
+        total_ll += ll;
+      });
+      for (int p = 0; p < tree.n_pdfs; ++p) {
+        for (int w = 1; w < threads; ++w)
+          worker_accs[0][p].Merge(worker_accs[w][p]);
+        UpdateGmm(worker_accs[0][p], 0.01f, &tri_pdfs[p]);
+      }
+      if (tri_pdfs[0].NumComps() < tri_mix_up && iter % 2 == 1)
+        for (auto& g : tri_pdfs) g.Split();
+      std::fprintf(stderr,
+                   "tri iter %d: avg ll/frame %.3f, comps %d\n", iter,
+                   total_ll / std::max(1.0, double(frames_done.load())),
+                   tri_pdfs[0].NumComps());
+    }
+    have_tri = true;
+    if (!model_path.empty()) {
+      FILE* f = std::fopen((model_path + ".tri").c_str(), "wb");
+      if (f) {
+        WriteTree(f, tree);
+        WriteGmmList(f, tri_pdfs);
+        std::fclose(f);
+      }
+    }
+  }
+
+  if (mode == "train") return 0;
+
   // ---- Final alignment + TextGrid export.
   std::atomic<int> aligned(0), skipped(0);
   ParallelFor(int(utts.size()), threads, [&](int i, int) {
     auto& u = utts[i];
     std::vector<AlignedSegment> segs;
-    float ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
+    float ll;
+    if (have_tri) {
+      auto pdf_tab = tri_seg_pdfs(tree, u.segments);
+      ll = ViterbiAlignCd(tri_pdfs, pdf_tab, u.segments, u.feats, 0.6f,
+                          &segs);
+    } else {
+      ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
+    }
     if (!std::isfinite(ll)) {
       skipped.fetch_add(1);
       return;

@@ -295,5 +295,42 @@ DiagTransform EstimateDiagFmllr(const FmllrAccumulator& acc,
   return t;
 }
 
-}  // namespace efs2
 
+
+void WriteGmmList(FILE* f, const std::vector<DiagGmm>& gmms) {
+  uint32_t n_g = gmms.size();
+  std::fwrite(&n_g, 4, 1, f);
+  for (const auto& g : gmms) {
+    uint32_t dim = g.dim, nc = g.NumComps();
+    std::fwrite(&dim, 4, 1, f);
+    std::fwrite(&nc, 4, 1, f);
+    std::fwrite(g.weights.data(), 4, nc, f);
+    std::fwrite(g.means.data(), 4, size_t(nc) * dim, f);
+    std::fwrite(g.inv_vars.data(), 4, size_t(nc) * dim, f);
+  }
+}
+
+bool ReadGmmList(FILE* f, std::vector<DiagGmm>* gmms) {
+  uint32_t n_g = 0;
+  if (std::fread(&n_g, 4, 1, f) != 1) return false;
+  gmms->resize(n_g);
+  for (auto& g : *gmms) {
+    uint32_t dim = 0, nc = 0;
+    if (std::fread(&dim, 4, 1, f) != 1 || std::fread(&nc, 4, 1, f) != 1)
+      return false;
+    g.dim = dim;
+    g.weights.resize(nc);
+    g.means.resize(size_t(nc) * dim);
+    g.inv_vars.resize(size_t(nc) * dim);
+    bool ok = std::fread(g.weights.data(), 4, nc, f) == nc &&
+              std::fread(g.means.data(), 4, size_t(nc) * dim, f) ==
+                  size_t(nc) * dim &&
+              std::fread(g.inv_vars.data(), 4, size_t(nc) * dim, f) ==
+                  size_t(nc) * dim;
+    if (!ok) return false;
+    g.ComputeGconsts();
+  }
+  return true;
+}
+
+}  // namespace efs2

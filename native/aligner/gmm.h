@@ -5,6 +5,7 @@
 #pragma once
 
 #include <cstdint>
+#include <cstdio>
 #include <string>
 #include <vector>
 
@@ -48,6 +49,9 @@ void WriteGmms(const std::string& path,
                const std::vector<DiagGmm>& gmms);
 bool ReadGmms(const std::string& path, std::vector<std::string>* phones,
               std::vector<DiagGmm>* gmms);
+// Raw GMM-list section (used by the triphone model sidecar, tree.h).
+void WriteGmmList(std::FILE* f, const std::vector<DiagGmm>& gmms);
+bool ReadGmmList(std::FILE* f, std::vector<DiagGmm>* gmms);
 
 // --- Speaker adaptation: diagonal fMLLR (x' = scale ⊙ x + offset). ---
 // The native equivalent of MFA's calc_fmllr pass between the two

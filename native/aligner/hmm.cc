@@ -36,7 +36,7 @@ struct Graph {
   std::vector<std::pair<int, float>> exits;  // states that may end the utt
 };
 
-Graph BuildGraph(const AcousticModel& model,
+Graph BuildGraph(const std::vector<int>& seg_state_pdfs,
                  const std::vector<Segment>& segments, float self_loop_prob) {
   Graph g;
   const float log_self = std::log(self_loop_prob);
@@ -52,7 +52,7 @@ Graph BuildGraph(const AcousticModel& model,
   for (int s = 0; s < n; ++s) {
     for (int k = 0; k < kStatesPerPhone; ++k) {
       int st = first_state(s) + k;
-      g.pdf[st] = model.PdfId(segments[s].phone, k);
+      g.pdf[st] = seg_state_pdfs[st];
       g.seg_of_state[st] = s;
       g.preds[st].push_back({st, log_self});
       if (k > 0) g.preds[st].push_back({st - 1, log_next});
@@ -83,8 +83,21 @@ float ViterbiAlign(const AcousticModel& model,
                    const std::vector<Segment>& segments,
                    const FeatureMatrix& feats, float self_loop_prob,
                    std::vector<AlignedSegment>* out) {
+  std::vector<int> seg_pdfs(segments.size() * kStatesPerPhone);
+  for (size_t s = 0; s < segments.size(); ++s)
+    for (int k = 0; k < kStatesPerPhone; ++k)
+      seg_pdfs[s * kStatesPerPhone + k] = model.PdfId(segments[s].phone, k);
+  return ViterbiAlignCd(model.gmms, seg_pdfs, segments, feats,
+                        self_loop_prob, out);
+}
+
+float ViterbiAlignCd(const std::vector<DiagGmm>& pdfs,
+                     const std::vector<int>& seg_state_pdfs,
+                     const std::vector<Segment>& segments,
+                     const FeatureMatrix& feats, float self_loop_prob,
+                     std::vector<AlignedSegment>* out) {
   const int T = feats.rows;
-  Graph g = BuildGraph(model, segments, self_loop_prob);
+  Graph g = BuildGraph(seg_state_pdfs, segments, self_loop_prob);
   const int S = int(g.pdf.size());
   if (T == 0 || S == 0) return kNegInf;
 
@@ -92,14 +105,14 @@ float ViterbiAlign(const AcousticModel& model,
   std::vector<int32_t> back(size_t(T) * S, -1);
 
   // Emission cache per frame (many states share pdfs only across segments
-  // with the same phone; cache by pdf id).
-  std::vector<float> emit(model.gmms.size());
+  // with the same phone/context; cache by pdf id).
+  std::vector<float> emit(pdfs.size());
   auto fill_emit = [&](int t) {
-    std::vector<char> done(model.gmms.size(), 0);
+    std::vector<char> done(pdfs.size(), 0);
     for (int st = 0; st < S; ++st) {
       int p = g.pdf[st];
       if (!done[p]) {
-        emit[p] = model.gmms[p].LogLikelihood(feats.Row(t));
+        emit[p] = pdfs[p].LogLikelihood(feats.Row(t));
         done[p] = 1;
       }
     }
@@ -207,6 +220,23 @@ void AlignmentToPdfIds(const AcousticModel& model,
     for (int t = s.start_frame; t < s.end_frame; ++t) {
       int k = (t - s.start_frame) * kStatesPerPhone / len;
       (*frame_pdfs)[t] = model.PdfId(s.phone, k);
+    }
+  }
+}
+
+void AlignmentToPdfIdsCd(const std::vector<int>& seg_state_pdfs,
+                         const std::vector<AlignedSegment>& segs,
+                         std::vector<int>* frame_pdfs) {
+  int T = 0;
+  for (const auto& s : segs) T = std::max(T, s.end_frame);
+  frame_pdfs->assign(T, -1);
+  for (size_t i = 0; i < segs.size(); ++i) {
+    const auto& s = segs[i];
+    int len = s.end_frame - s.start_frame;
+    if (len <= 0) continue;
+    for (int t = s.start_frame; t < s.end_frame; ++t) {
+      int k = (t - s.start_frame) * kStatesPerPhone / len;
+      (*frame_pdfs)[t] = seg_state_pdfs[i * kStatesPerPhone + k];
     }
   }
 }

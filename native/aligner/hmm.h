@@ -47,6 +47,20 @@ float ViterbiAlign(const AcousticModel& model,
                    const FeatureMatrix& feats, float self_loop_prob,
                    std::vector<AlignedSegment>* out);
 
+// Context-dependent variant: emission pdf of (segment, state) comes from an
+// explicit table (seg_state_pdfs[seg*kStatesPerPhone+state] indexes pdfs) —
+// used by the tied-state triphone pass (tree.h).
+float ViterbiAlignCd(const std::vector<DiagGmm>& pdfs,
+                     const std::vector<int>& seg_state_pdfs,
+                     const std::vector<Segment>& segments,
+                     const FeatureMatrix& feats, float self_loop_prob,
+                     std::vector<AlignedSegment>* out);
+
+// Frame → pdf via an explicit (segment, state) table.
+void AlignmentToPdfIdsCd(const std::vector<int>& seg_state_pdfs,
+                         const std::vector<AlignedSegment>& segs,
+                         std::vector<int>* frame_pdfs);
+
 // Uniform "flat-start" alignment used before any model exists.
 void FlatStartAlign(const std::vector<Segment>& segments, int n_frames,
                     std::vector<AlignedSegment>* out);

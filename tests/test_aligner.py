@@ -136,3 +136,82 @@ def test_speaker_adaptation_pass(tmp_path):
     log2 = align_corpus(str(tmp_path / "corpus"), str(tmp_path / "tg2"),
                         iters=4, threads=2, speaker_adapt=False)
     assert "speaker adapt" not in log2
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_triphone_tree_splits_on_context(tmp_path):
+    """Tied-state triphone stage (MFA equivalent: mono → triphone chain,
+    MFA/montreal_forced_aligner/acoustic_modeling/triphone.py): on a corpus
+    where the SAME phone sounds different depending on its left neighbor,
+    the decision tree must split by context and alignment must stay
+    accurate; the .tri sidecar model must round-trip."""
+    import re
+
+    from expressive_fastspeech2_mandarin_tpu.align import (
+        align_corpus,
+        ensure_built,
+    )
+
+    ensure_built()
+    rng = np.random.default_rng(1)
+    corpus = tmp_path / "corpus" / "0001"
+    os.makedirs(corpus)
+    truth = {}
+    for i in range(40):
+        # "ban nao": the 'a' in 'ban' (after b) vs in 'nao'... keep it
+        # simple: alternate words so 'a' appears after both 'b' and 'h'.
+        words = [("b", "a", "n"), ("h", "a", "n")]
+        phones = [p for w in words for p in w]
+        durs = rng.uniform(0.08, 0.2, len(phones))
+        parts = [np.zeros(int(SR * 0.08))]
+        for j, (p, d) in enumerate(zip(phones, durs)):
+            t = np.arange(int(SR * d)) / SR
+            f = FREQ.get(p, 500)
+            if p == "a":  # context-dependent realization of 'a'
+                f = 700 if phones[j - 1] == "b" else 1100
+            sig = (0.4 * np.sin(2 * np.pi * f * t)
+                   + 0.2 * np.sin(2 * np.pi * 2.1 * f * t)
+                   + 0.01 * rng.standard_normal(len(t)))
+            env = np.minimum(1, np.minimum(np.arange(len(t)) / 400,
+                                           (len(t) - np.arange(len(t))) / 400))
+            parts.append(sig * env)
+        parts.append(np.zeros(int(SR * 0.08)))
+        wav = np.concatenate(parts).astype(np.float32)
+        base = f"0001_{i:06d}"
+        save_wav(str(corpus / f"{base}.wav"), wav, SR)
+        with open(corpus / f"{base}.lab", "w") as f:
+            f.write("ban han\n")
+        t0, bounds = 0.08, []
+        for p, d in zip(phones, durs):
+            bounds.append((p, t0, t0 + d))
+            t0 += d
+        truth[base] = bounds
+
+    model_path = str(tmp_path / "am.bin")
+    log = align_corpus(
+        str(tmp_path / "corpus"), str(tmp_path / "tg"),
+        model_path=model_path, iters=6, threads=2,
+        extra_args=["--tri-min-count", "30", "--tri-min-gain", "50"])
+    m = re.search(r"triphone tree: (\d+) tied states from (\d+) roots", log)
+    assert m, log
+    tied, roots = int(m.group(1)), int(m.group(2))
+    assert tied > roots, f"no context splits happened ({tied} vs {roots})"
+    assert os.path.exists(model_path + ".tri")
+
+    errs = []
+    for base, bounds in truth.items():
+        tg = read_textgrid(str(tmp_path / "tg" / "0001" / f"{base}.TextGrid"))
+        tier = tg.get_tier_by_name("phones")
+        pred = [(iv.text, iv.start, iv.end) for iv in tier.intervals
+                if iv.text not in ("", "sil", "sp")]
+        assert [p for p, _, _ in pred] == [p for p, _, _ in bounds]
+        for (_, ta, tb), (_, pa, pb) in zip(bounds, pred):
+            errs += [abs(ta - pa), abs(tb - pb)]
+    mean_err = float(np.mean(errs))
+    assert mean_err < 0.04, f"mean boundary error {mean_err*1000:.1f}ms"
+
+    # Sidecar round-trip: re-align loads the triphone model, no retraining.
+    log2 = align_corpus(str(tmp_path / "corpus"), str(tmp_path / "tg2"),
+                        model_path=model_path, threads=2)
+    assert "loaded triphone model" in log2
+    assert "aligned 40 utterances" in log2
