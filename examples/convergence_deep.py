@@ -1,0 +1,340 @@
+"""Deep convergence run with audible artifacts (VERDICT r1 item 4).
+
+Builds a structured multi-speaker / multi-emotion corpus where the
+conditioning signals have real acoustic consequences — speaker sets the
+formant register, emotion scales pitch and speaking rate — runs the full
+pipeline (feature extraction → ≥5k optimizer steps on the attached
+accelerator → checkpoint), then:
+
+* plots train/val loss curves,
+* saves GT-vs-predicted mel figures and vocoded wavs (HiFi-GAN if
+  model.vocoder.ckpt_path is configured, Griffin-Lim otherwise — the
+  reference's universal HiFi-GAN weights are git-LFS pointers and absent
+  from this environment),
+* verifies conditioning: speaker/emotion changes move the output mel, and
+  duration control scales predicted length monotonically,
+* writes reports/convergence/CONVERGENCE.md.
+
+Usage: python examples/convergence_deep.py [--steps 5000]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SR = 22050
+SPEAKERS = ["0001", "0002", "0003", "0004"]
+EMOTIONS = {  # name -> (arousal, valence, f0 scale, rate scale)
+    "Happy": ("0.8", "0.8", 1.15, 1.1),
+    "Sad": ("0.3", "0.2", 0.85, 0.8),
+    "Angry": ("0.9", "0.1", 1.25, 1.25),
+}
+FREQ = {"b": 250, "a": 700, "n": 420, "h": 1500, "ao": 550, "z": 2200,
+        "o": 480, "ng": 330, "m": 360, "i": 2400, "sh": 1800, "u": 380}
+TEXTS = [
+    ("ban hao", [["b", "a", "n"], ["h", "ao"]]),
+    ("zong", [["z", "o", "ng"]]),
+    ("hao ban", [["h", "ao"], ["b", "a", "n"]]),
+    ("zong hao", [["z", "o", "ng"], ["h", "ao"]]),
+    ("mi shu", [["m", "i"], ["sh", "u"]]),
+    ("shu mi ban", [["sh", "u"], ["m", "i"], ["b", "a", "n"]]),
+]
+
+
+def build_corpus(workdir: str, n_utts: int = 480):
+    from expressive_fastspeech2_mandarin_tpu.preprocess import (
+        Interval,
+        TextGrid,
+        Tier,
+        write_textgrid,
+    )
+    from expressive_fastspeech2_mandarin_tpu.utils.wav import save_wav
+
+    rng = np.random.default_rng(0)
+    raw = os.path.join(workdir, "raw_data")
+    pre = os.path.join(workdir, "preprocessed")
+    filelist = []
+    emo_names = list(EMOTIONS)
+    per_spk = n_utts // len(SPEAKERS)
+    for spk_i, spk in enumerate(SPEAKERS):
+        os.makedirs(os.path.join(raw, spk), exist_ok=True)
+        os.makedirs(os.path.join(pre, "TextGrid", spk), exist_ok=True)
+        for k in range(per_spk):
+            text, words = TEXTS[k % len(TEXTS)]
+            emo = emo_names[k % len(emo_names)]
+            aro, val, f0_scale, rate = EMOTIONS[emo]
+            phones = [p for w in words for p in w]
+            durs = rng.uniform(0.07, 0.18, len(phones)) / rate
+            spk_scale = 1.0 + 0.08 * spk_i  # per-speaker register
+            parts = [np.zeros(int(SR * 0.08))]
+            for p, d in zip(phones, durs):
+                t = np.arange(int(SR * d)) / SR
+                f = FREQ[p] * spk_scale * f0_scale
+                sig = (0.4 * np.sin(2 * np.pi * f * t)
+                       + 0.2 * np.sin(2 * np.pi * 2.1 * f * t))
+                env = np.minimum(1, np.minimum(
+                    np.arange(len(t)) / 400,
+                    (len(t) - np.arange(len(t))) / 400))
+                parts.append(sig * env)
+            parts.append(np.zeros(int(SR * 0.08)))
+            wav = np.concatenate(parts).astype(np.float32)
+            wav += 0.01 * rng.standard_normal(len(wav)).astype(np.float32)
+            base = f"{spk}_{k:06d}"
+            save_wav(os.path.join(raw, spk, f"{base}.wav"), wav, SR)
+            with open(os.path.join(raw, spk, f"{base}.lab"), "w") as f_:
+                f_.write(text + "\n")
+            dur_total = len(wav) / SR
+            t0 = 0.08
+            ivs = [Interval(0, t0, "sil")]
+            for p, d in zip(phones, durs):
+                ivs.append(Interval(t0, t0 + d, p))
+                t0 += d
+            ivs.append(Interval(t0, dur_total, "sp"))
+            write_textgrid(TextGrid(0, dur_total, [Tier("phones", ivs)]),
+                           os.path.join(pre, "TextGrid", spk,
+                                        f"{base}.TextGrid"))
+            filelist.append(
+                f"{base}|{text}|{spk}|demo|default|{emo}|{aro}|{val}")
+    with open(os.path.join(raw, "filelist.txt"), "w") as f_:
+        f_.write("\n".join(filelist) + "\n")
+    with open(os.path.join(raw, "speaker_info.txt"), "w") as f_:
+        f_.write("\n".join(f"{s}|zh|f" for s in SPEAKERS) + "\n")
+    return raw, pre
+
+
+def preprocess(workdir, raw, pre):
+    import yaml
+
+    if os.path.exists(os.path.join(pre, "train.txt")):
+        return
+    cfgd = {"dataset": "demo",
+            "path": {"raw_path": raw, "preprocessed_path": pre},
+            "preprocessing": {"val_size": 32}}
+    with open(os.path.join(workdir, "pre.yaml"), "w") as f:
+        yaml.dump(cfgd, f)
+    for name in ("model.yaml", "train.yaml"):
+        with open(os.path.join(workdir, name), "w") as f:
+            f.write("{}\n")
+    subprocess.run(
+        [sys.executable, "-m",
+         "expressive_fastspeech2_mandarin_tpu.cli.preprocess", "features",
+         "-p", os.path.join(workdir, "pre.yaml"),
+         "-m", os.path.join(workdir, "model.yaml"),
+         "-t", os.path.join(workdir, "train.yaml")],
+        check=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--workdir", default="/tmp/convergence_deep")
+    ap.add_argument("--report-dir", default=os.path.join(
+        ROOT, "reports", "convergence"))
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+    if args.fresh and os.path.isdir(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(args.workdir, exist_ok=True)
+    os.makedirs(args.report_dir, exist_ok=True)
+
+    raw, pre = build_corpus(args.workdir)
+    preprocess(args.workdir, raw, pre)
+
+    from expressive_fastspeech2_mandarin_tpu.config import (
+        BucketConfig,
+        Config,
+        ModelConfig,
+        OptimizerConfig,
+        PathConfig,
+        PreprocessConfig,
+        StepConfig,
+        TrainConfig,
+    )
+
+    cfg = Config(
+        preprocess=PreprocessConfig(
+            path=PathConfig(raw_path=raw, preprocessed_path=pre),
+            val_size=32),
+        # Full reference-scale model (~35M params incl. postnet/embeddings).
+        model=ModelConfig(n_speakers=len(SPEAKERS),
+                          n_emotions=len(EMOTIONS), n_arousals=len(EMOTIONS),
+                          n_valences=len(EMOTIONS), max_seq_len=256),
+        train=TrainConfig(
+            path=PathConfig(ckpt_path=os.path.join(args.workdir, "ckpt"),
+                            log_path=os.path.join(args.workdir, "log"),
+                            result_path=os.path.join(args.workdir, "result")),
+            optimizer=OptimizerConfig(batch_size=16, warm_up_step=400),
+            step=StepConfig(total_step=args.steps, log_step=50,
+                            synth_step=args.steps // 4,
+                            val_step=args.steps // 10, save_step=args.steps),
+            buckets=BucketConfig(src_buckets=(16,), mel_buckets=(128,)),
+            steps_per_call=10,
+        ),
+    )
+
+    from expressive_fastspeech2_mandarin_tpu.train.loop import train
+
+    state = train(cfg, total_steps=args.steps)
+
+    # ---- loss curves ------------------------------------------------------
+    with open(os.path.join(args.workdir, "log", "train",
+                           "metrics.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f if ln.strip()]
+    val_path = os.path.join(args.workdir, "log", "val", "metrics.jsonl")
+    vals = []
+    if os.path.exists(val_path):
+        with open(val_path) as f:
+            vals = [json.loads(ln) for ln in f if ln.strip()]
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    for key in ("total_loss", "mel_loss", "duration_loss"):
+        axes[0].plot([r["step"] for r in recs], [r[key] for r in recs],
+                     label=key)
+    axes[0].set_yscale("log")
+    axes[0].set_xlabel("step")
+    axes[0].legend()
+    axes[0].set_title("train")
+    if vals:
+        for key in ("total_loss", "mel_loss", "duration_loss"):
+            axes[1].plot([v["step"] for v in vals], [v[key] for v in vals],
+                         label=key)
+        axes[1].set_yscale("log")
+        axes[1].set_xlabel("step")
+        axes[1].legend()
+        axes[1].set_title("validation")
+    fig.tight_layout()
+    curve_png = os.path.join(args.report_dir, "loss_curves.png")
+    fig.savefig(curve_png, dpi=110)
+    plt.close(fig)
+
+    # ---- synthesis artifacts + conditioning checks ------------------------
+    from expressive_fastspeech2_mandarin_tpu.synth.synthesizer import (
+        Synthesizer,
+    )
+    from expressive_fastspeech2_mandarin_tpu.utils.wav import save_wav
+
+    synth = Synthesizer.from_orbax(cfg, cfg.train.path.ckpt_path,
+                                   preprocessed_path=pre)
+
+    def mel_for(speaker, emotion, d_control=1.0):
+        r = synth.synthesize(["{b a n h ao}"], speakers=[speaker],
+                             emotions=[emotion],
+                             duration_control=d_control)[0]
+        return r
+
+    checks = {}
+    base = mel_for("0001", "Happy")
+    other_spk = mel_for("0004", "Happy")
+    other_emo = mel_for("0001", "Sad")
+    t = min(base.mel.shape[0], other_spk.mel.shape[0])
+    checks["speaker_mel_l1"] = float(
+        np.abs(base.mel[:t] - other_spk.mel[:t]).mean())
+    t = min(base.mel.shape[0], other_emo.mel.shape[0])
+    checks["emotion_mel_l1"] = float(
+        np.abs(base.mel[:t] - other_emo.mel[:t]).mean())
+    # Sad was rendered slower than Happy -> predicted durations longer.
+    checks["happy_frames"] = int(base.mel.shape[0])
+    checks["sad_frames"] = int(other_emo.mel.shape[0])
+    lens = [mel_for("0001", "Happy", c).mel.shape[0]
+            for c in (0.5, 1.0, 1.5, 2.0)]
+    checks["duration_control_lens"] = lens
+    checks["duration_monotonic"] = bool(
+        all(a < b for a, b in zip(lens, lens[1:])))
+
+    # GT-vs-pred artifact on a val utterance + vocoded audio.
+    from expressive_fastspeech2_mandarin_tpu.data import (
+        BucketedDataset,
+        PreprocessedCorpus,
+    )
+    from expressive_fastspeech2_mandarin_tpu.train.sampling import (
+        SampleVocoder,
+    )
+    from expressive_fastspeech2_mandarin_tpu.utils.plotting import (
+        save_mel_plot,
+    )
+
+    corpus = PreprocessedCorpus(pre)
+    val_ds = BucketedDataset(corpus, "val.txt", 4, cfg.train.buckets,
+                             cfg.model.max_seq_len)
+    batch = next(val_ds.epoch(0, shuffle=False))
+    from expressive_fastspeech2_mandarin_tpu.train.step import (
+        make_synth_step,
+    )
+    from expressive_fastspeech2_mandarin_tpu.models import FastSpeech2
+
+    model = FastSpeech2(cfg.model, cfg.preprocess, corpus.stats)
+    fn = make_synth_step(model, cfg, max_mel_len=batch["mels"].shape[1])
+    mel_pred, mel_lens, _ = fn(state.params, state.bn_state, batch)
+    i = 0
+    t_pred, t_gt = int(mel_lens[i]), int(batch["mel_lens"][i])
+    save_mel_plot(
+        os.path.join(args.report_dir, "gt_vs_pred_mel.png"),
+        [(np.asarray(mel_pred[i, :t_pred]).T, None, None),
+         (batch["mels"][i, :t_gt].T, None, None)],
+        None, ["Predicted", "Ground truth"])
+
+    sampler = SampleVocoder(cfg)
+    save_wav(os.path.join(args.report_dir, "pred.wav"),
+             sampler.vocode(np.asarray(mel_pred[i]), t_pred), SR)
+    save_wav(os.path.join(args.report_dir, "gt_reconstruction.wav"),
+             sampler.vocode(batch["mels"][i], t_gt), SR)
+    save_wav(os.path.join(args.report_dir, "synth_happy.wav"), base.wav, SR)
+    save_wav(os.path.join(args.report_dir, "synth_sad.wav"),
+             other_emo.wav, SR)
+
+    first, last = recs[0], recs[-1]
+    lines = [
+        "# Deep convergence run",
+        "",
+        f"Corpus: {len(SPEAKERS)} speakers x {len(EMOTIONS)} emotions "
+        f"(structured synthetic; emotion scales pitch/rate, speaker sets "
+        f"register), 480 utterances, full pipeline "
+        f"(feature extraction -> train -> synthesize).",
+        f"Model: reference-scale FastSpeech2; {args.steps} steps, batch 16,"
+        f" steps_per_call 10.",
+        "",
+        f"| step | total | mel | duration |",
+        f"|---|---|---|---|",
+        f"| {first['step']} | {first['total_loss']:.3f} | "
+        f"{first['mel_loss']:.3f} | {first['duration_loss']:.3f} |",
+        f"| {last['step']} | {last['total_loss']:.3f} | "
+        f"{last['mel_loss']:.3f} | {last['duration_loss']:.3f} |",
+        "",
+        f"Reference regime at 900k steps: total ~1.2, mel ~0.4 "
+        f"(/root/reference/README.md:232-235).",
+        f"Throughput: {recs[-1].get('steps_per_sec', float('nan')):.1f} "
+        f"steps/s at the end of the run.",
+        "",
+        "Conditioning checks (must all hold):",
+        "```json",
+        json.dumps(checks, indent=2),
+        "```",
+        "",
+        "Artifacts: loss_curves.png, gt_vs_pred_mel.png, pred.wav,",
+        "gt_reconstruction.wav, synth_happy.wav, synth_sad.wav",
+        "(vocoder: " + sampler.kind + " — the reference's universal HiFi-GAN"
+        " weights are git-LFS pointers, absent from this environment).",
+        "",
+    ]
+    with open(os.path.join(args.report_dir, "CONVERGENCE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps(checks, indent=2))
+    print(f"final: total={last['total_loss']:.3f} mel={last['mel_loss']:.3f}")
+    print(f"report: {args.report_dir}/CONVERGENCE.md")
+
+
+if __name__ == "__main__":
+    main()

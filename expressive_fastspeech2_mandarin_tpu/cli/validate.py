@@ -180,6 +180,54 @@ def validate_checkpoint(ckpt_dir: str, cfg) -> dict:
     }
 
 
+def validate_synth(result_dir: str, expected_sr: int = 22050,
+                   min_amplitude: float = 0.01,
+                   min_duration_s: float = 0.5) -> dict:
+    """Audio-health check over synthesized wavs (reference:
+    diagnose_synthesis.py:12-60, monitor_generation.py): sampling rate,
+    duration, peak amplitude, RMS, clipping and non-finite samples."""
+    import numpy as np
+
+    from ..utils.wav import load_wav
+
+    out = {"files": [], "warnings": 0, "ok": True}
+    if not os.path.isdir(result_dir):
+        return {"ok": False, "error": f"no result dir {result_dir}"}
+    wavs = sorted(f for f in os.listdir(result_dir)
+                  if f.lower().endswith(".wav"))
+    if not wavs:
+        return {"ok": False, "error": f"no wavs in {result_dir}"}
+    for name in wavs:
+        audio, sr = load_wav(os.path.join(result_dir, name), sr=None)
+        peak = float(np.max(np.abs(audio))) if audio.size else 0.0
+        rms = float(np.sqrt(np.mean(np.square(audio)))) if audio.size else 0.0
+        entry = {
+            "file": name,
+            "sampling_rate": sr,
+            "duration_s": round(audio.size / sr, 3) if sr else 0.0,
+            "peak": round(peak, 4),
+            "rms": round(rms, 4),
+            "warnings": [],
+        }
+        if not np.isfinite(audio).all():
+            entry["warnings"].append("non-finite samples")
+        if peak < min_amplitude:
+            entry["warnings"].append(f"peak {peak:.4f} < {min_amplitude} "
+                                     "(likely inaudible)")
+        if peak >= 0.999:
+            entry["warnings"].append("clipping (peak at full scale)")
+        if sr != expected_sr:
+            entry["warnings"].append(f"sampling rate {sr} != {expected_sr}")
+        if audio.size < sr * min_duration_s:
+            entry["warnings"].append(
+                f"duration {audio.size / sr:.2f}s < {min_duration_s}s")
+        out["files"].append(entry)
+        out["warnings"] += len(entry["warnings"])
+    out["ok"] = out["warnings"] == 0
+    out["n_files"] = len(wavs)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="efs2-validate")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -204,6 +252,12 @@ def main() -> None:
     add_config_args(ck)
     ck.add_argument("--ckpt-dir", default=None)
 
+    sy = sub.add_parser("synth", help="audio-health check of output wavs")
+    sy.add_argument("--result-dir", required=True)
+    sy.add_argument("--sampling-rate", type=int, default=22050)
+    sy.add_argument("--min-amplitude", type=float, default=0.01)
+    sy.add_argument("--min-duration", type=float, default=0.5)
+
     args = ap.parse_args()
     if args.cmd == "textgrids":
         out = validate_textgrids(args.textgrid_dir, args.report)
@@ -219,6 +273,10 @@ def main() -> None:
         cfg = config_from_args(args)
         ckpt = args.ckpt_dir or cfg.train.path.ckpt_path
         print(json.dumps(validate_checkpoint(ckpt, cfg), indent=2))
+    elif args.cmd == "synth":
+        out = validate_synth(args.result_dir, args.sampling_rate,
+                             args.min_amplitude, args.min_duration)
+        print(json.dumps(out, indent=2, ensure_ascii=False))
 
 
 if __name__ == "__main__":

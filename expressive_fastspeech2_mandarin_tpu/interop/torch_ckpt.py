@@ -192,3 +192,102 @@ def convert_hifigan(
                        for j in range(n_resblock_layers)],
         })
     return params
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: JAX param tree → reference torch state dict
+# (keeps checkpoint-parity machinery warm for the day the reference's 900k
+# weights materialize: a natively-trained checkpoint can be exported and
+# loaded by the reference's get_model, utils/model.py:15-28).
+
+
+def _lin_out(out: dict[str, np.ndarray], prefix: str, p: Params) -> None:
+    out[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+    out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _conv_out(out: dict[str, np.ndarray], prefix: str, p: Params) -> None:
+    # (K, Cin, Cout) -> torch Conv1d (Cout, Cin, K)
+    out[f"{prefix}.weight"] = np.ascontiguousarray(
+        np.asarray(p["kernel"]).transpose(2, 1, 0))
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _ln_out(out: dict[str, np.ndarray], prefix: str, p: Params) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["g"])
+    out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _fft_block_out(out: dict[str, np.ndarray], prefix: str, p: Params) -> None:
+    _lin_out(out, f"{prefix}.slf_attn.w_qs", p["attn"]["wq"])
+    _lin_out(out, f"{prefix}.slf_attn.w_ks", p["attn"]["wk"])
+    _lin_out(out, f"{prefix}.slf_attn.w_vs", p["attn"]["wv"])
+    _lin_out(out, f"{prefix}.slf_attn.fc", p["attn"]["fc"])
+    _ln_out(out, f"{prefix}.slf_attn.layer_norm", p["attn"]["ln"])
+    _conv_out(out, f"{prefix}.pos_ffn.w_1", p["ffn"]["w1"])
+    _conv_out(out, f"{prefix}.pos_ffn.w_2", p["ffn"]["w2"])
+    _ln_out(out, f"{prefix}.pos_ffn.layer_norm", p["ffn"]["ln"])
+
+
+def _variance_predictor_out(out: dict[str, np.ndarray], prefix: str,
+                            p: Params) -> None:
+    _conv_out(out, f"{prefix}.conv_layer.conv1d_1.conv", p["conv1"])
+    _ln_out(out, f"{prefix}.conv_layer.layer_norm_1", p["ln1"])
+    _conv_out(out, f"{prefix}.conv_layer.conv1d_2.conv", p["conv2"])
+    _ln_out(out, f"{prefix}.conv_layer.layer_norm_2", p["ln2"])
+    _lin_out(out, f"{prefix}.linear_layer", p["linear"])
+
+
+def export_fastspeech2(params: Params, bn_state: Params,
+                       consts: Mapping[str, np.ndarray] | None = None
+                       ) -> dict[str, np.ndarray]:
+    """params/bn_state (+ pitch/energy bin consts) → reference-format flat
+    state dict; exact inverse of :func:`convert_fastspeech2`."""
+    out: dict[str, np.ndarray] = {}
+    out["encoder.src_word_emb.weight"] = np.asarray(
+        params["encoder"]["embed"])
+    for i, blk in enumerate(params["encoder"]["layers"]):
+        _fft_block_out(out, f"encoder.layer_stack.{i}", blk)
+    for i, blk in enumerate(params["decoder"]["layers"]):
+        _fft_block_out(out, f"decoder.layer_stack.{i}", blk)
+    va = params["variance_adaptor"]
+    for name in ("duration", "pitch", "energy"):
+        _variance_predictor_out(
+            out, f"variance_adaptor.{name}_predictor",
+            va[f"{name}_predictor"])
+    out["variance_adaptor.pitch_embedding.weight"] = np.asarray(
+        va["pitch_embedding"])
+    out["variance_adaptor.energy_embedding.weight"] = np.asarray(
+        va["energy_embedding"])
+    _lin_out(out, "mel_linear", params["mel_linear"])
+    for i, conv in enumerate(params["postnet"]["convs"]):
+        _conv_out(out, f"postnet.convolutions.{i}.0.conv", conv)
+        out[f"postnet.convolutions.{i}.1.weight"] = np.asarray(conv["bn_g"])
+        out[f"postnet.convolutions.{i}.1.bias"] = np.asarray(conv["bn_b"])
+        bn = bn_state["postnet"]["convs"][i]
+        out[f"postnet.convolutions.{i}.1.running_mean"] = np.asarray(
+            bn["mean"])
+        out[f"postnet.convolutions.{i}.1.running_var"] = np.asarray(bn["var"])
+    if "speaker_emb" in params:
+        out["speaker_emb.weight"] = np.asarray(params["speaker_emb"])
+    if "emotion_emb" in params:
+        out["emotion_emb.weight"] = np.asarray(params["emotion_emb"])
+        out["arousal_emb.weight"] = np.asarray(params["arousal_emb"])
+        out["valence_emb.weight"] = np.asarray(params["valence_emb"])
+        _lin_out(out, "emotion_linear.0", params["emotion_linear"])
+    if consts:
+        if "pitch_bins" in consts:
+            out["variance_adaptor.pitch_bins"] = np.asarray(
+                consts["pitch_bins"])
+            out["variance_adaptor.energy_bins"] = np.asarray(
+                consts["energy_bins"])
+    return out
+
+
+def save_torch_checkpoint(path: str, state_dict: Mapping[str, np.ndarray],
+                          key: str = "model") -> None:
+    """Write a reference-format ``torch.save({key: state_dict})`` file."""
+    import torch
+
+    torch.save({key: {k: torch.from_numpy(np.ascontiguousarray(v))
+                      for k, v in state_dict.items()}}, path)

@@ -103,6 +103,25 @@ def _time(m):
     return out
 
 
+@_rule(r"(\d{1,2}):(\d{1,2})(?!\d)")
+def _ratio(m):
+    # N:M ratio (reference: normalizer/special.py _ratio_normalize). The
+    # time rule above claims HH:MM with a two-digit minute field first.
+    return f"{verbalize_number(m.group(1))}比{verbalize_number(m.group(2))}"
+
+
+@_rule(r"([京津沪渝蒙新藏宁桂港澳黑吉辽晋冀青鲁豫苏皖浙闽赣湘鄂粤琼甘贵云陕台]"
+       r"[A-Z])\s?([\dA-Z]{4,6})")
+def _car_number(m):
+    # License plates: keep the province+letter prefix, read the tail
+    # digit-by-digit with letters spelled out, short pause between
+    # (reference: normalizer/car_number.py:10-32).
+    prefix = m.group(1)
+    tail = " ".join(verbalize_digits(c) if c.isdigit() else c
+                    for c in m.group(2))
+    return f"{prefix} {tail}"
+
+
 @_rule(r"1[3-9]\d{9}")
 def _mobile(m):
     return verbalize_digits(m.group(0))
@@ -142,6 +161,28 @@ def _range(m):
 def _temperature(m):
     sign = "零下" if m.group(1) else ""
     return sign + _num(m.group(2)) + "摄氏度"
+
+
+# The reference's full measure-unit inventory (reference:
+# normalizer/measure.py:24-38): complex compounds first, then two-char
+# units, then the single-char table.
+_MEASURE_UNITS = (
+    r"((?:千|分|厘|毫|微)米|(?:千|毫|微)克|公里|小时|"
+    r"[匹张座回场尾条个首阙阵网炮顶丘棵只支袭辆挑担颗壳窠曲墙群腔"
+    r"砣客贯扎捆刀令打手罗坡山岭江溪钟队单双对出口头脚板跳枝件贴"
+    r"针线管名位身堂课本页家户层丝毫厘分钱两斤铢石钧锱忽"
+    r"寸尺丈里寻常铺程撮勺合升斗盘碗碟叠桶笼盆"
+    r"盒杯斛锅簋篮罐瓶壶卮盏箩箱煲啖袋钵年月日季刻时周天秒旬"
+    r"纪岁世更夜春夏秋冬代伏辈丸泡粒幢堆根道面片块克米点])")
+
+
+@_rule(r"(-?\d+(?:\.\d+)?)" + _MEASURE_UNITS)
+def _measure(m):
+    # Quantity + measure word → number reading (reference:
+    # normalizer/measure.py:45-66), e.g. 10.23公里 → 十点二三公里.
+    n = m.group(1)
+    sign = "负" if n.startswith("-") else ""
+    return sign + verbalize_decimal(n.lstrip("-")) + m.group(2)
 
 
 @_rule(r"([A-Z]{2,4})(?=[^A-Za-z]|$)")

@@ -56,3 +56,28 @@ def test_normalizer_integrates_with_g2p():
     assert norm == "我有三个"
     ids = chinese_text_to_ids(norm)
     assert len(ids) > 0
+
+
+def test_car_number():
+    """reference: normalizer/car_number.py:10-32 — keep the province+letter
+    prefix, pause, then read the tail digit-by-digit."""
+    out = normalize_chinese("我的车牌是粤AD74821。")
+    assert "粤A" in out and "七 四 八 二 幺" in out
+    # Space inside the plate is absorbed (reference :29).
+    assert normalize_chinese("粤A D74821") == normalize_chinese("粤AD74821")
+
+
+def test_measure_units():
+    """reference: normalizer/measure.py:45-66 — quantity + measure word
+    uses the number reading, including decimals and compound units."""
+    assert normalize_chinese("路程是10.23公里") == "路程是十点二三公里"
+    assert normalize_chinese("一共是10个人") == "一共是十个人"
+    assert normalize_chinese("他重70千克") == "他重七十千克"
+    assert normalize_chinese("我今年83岁半了") == "我今年八十三岁半了"
+
+
+def test_ratio():
+    """reference: normalizer/special.py _ratio_normalize."""
+    assert normalize_chinese("比分是3:2") == "比分是三比二"
+    # HH:MM with two-digit minutes stays a time reading.
+    assert normalize_chinese("现在是12:30") == "现在是十二点三十分"

@@ -174,3 +174,47 @@ def test_full_pipeline(corpus, tmp_path):
     # Durations from an untrained model may round to zero; shapes must hold.
     assert results[0].mel.shape[0] >= 0
     assert results[0].mel.shape[1] if results[0].mel.size else True
+
+
+def test_validate_synth_and_resample(tmp_path):
+    """Audio-health check (reference: diagnose_synthesis.py:12-60) and the
+    resample subcommand (reference: resample_audio.py)."""
+    import subprocess
+    import sys
+
+    from expressive_fastspeech2_mandarin_tpu.cli.validate import (
+        validate_synth,
+    )
+    from expressive_fastspeech2_mandarin_tpu.utils.wav import (
+        load_wav,
+        save_wav,
+    )
+
+    res = tmp_path / "result"
+    os.makedirs(res)
+    sr = 22050
+    t = np.arange(sr) / sr
+    save_wav(str(res / "good.wav"), (0.5 * np.sin(2 * np.pi * 220 * t)
+                                     ).astype(np.float32), sr)
+    save_wav(str(res / "quiet.wav"), np.full(sr, 1e-4, np.float32), sr)
+    save_wav(str(res / "short.wav"), np.full(100, 0.5, np.float32), sr)
+
+    out = validate_synth(str(res))
+    assert out["n_files"] == 3 and not out["ok"]
+    by_name = {e["file"]: e for e in out["files"]}
+    assert by_name["good.wav"]["warnings"] == []
+    assert any("peak" in w for w in by_name["quiet.wav"]["warnings"])
+    assert any("duration" in w for w in by_name["short.wav"]["warnings"])
+
+    # Resample tree 22050 -> 16000 into a new dir via the CLI.
+    out_dir = tmp_path / "resampled"
+    subprocess.run(
+        [sys.executable, "-m",
+         "expressive_fastspeech2_mandarin_tpu.cli.preprocess", "resample",
+         "--in-dir", str(res), "--out-dir", str(out_dir),
+         "--sampling-rate", "16000", "--peak-normalize", "0.9"],
+        check=True)
+    audio, sr2 = load_wav(str(out_dir / "good.wav"), sr=None)
+    assert sr2 == 16000
+    assert abs(audio.size - 16000) < 32
+    np.testing.assert_allclose(np.abs(audio).max(), 0.9, atol=0.02)
