@@ -162,6 +162,10 @@ class OptimizerConfig:
     warm_up_step: int = 4000
     anneal_steps: tuple[int, ...] = (300000, 400000, 500000)
     anneal_rate: float = 0.3
+    # Multiplier on the Noam schedule for large-batch training (the
+    # reference has no such knob; sqrt LR scaling is the documented recipe
+    # for batch 16, see configs/ESD-Chinese-Singing-MFA/train_b16.yaml).
+    lr_scale: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -335,6 +339,7 @@ def train_config_from_dict(d: dict[str, Any], **overrides) -> TrainConfig:
             warm_up_step=o.get("warm_up_step", 4000),
             anneal_steps=tuple(o.get("anneal_steps", (300000, 400000, 500000))),
             anneal_rate=float(o.get("anneal_rate", 0.3)),
+            lr_scale=float(o.get("lr_scale", 1.0)),
         ),
         step=StepConfig(
             total_step=s.get("total_step", 900000),
@@ -343,6 +348,8 @@ def train_config_from_dict(d: dict[str, Any], **overrides) -> TrainConfig:
             val_step=s.get("val_step", 1000),
             save_step=s.get("save_step", 100000),
         ),
+        steps_per_call=d.get("steps_per_call", 1),
+        matmul_precision=d.get("matmul_precision", "default"),
     )
     kwargs.update(overrides)
     return TrainConfig(**kwargs)

@@ -165,6 +165,11 @@ def pack_generator_params(params: Params, cfg: VocoderConfig,
             for conv, d in zip(rb["convs1"], dil):
                 pk, _, _ = _pack_conv_weight(conv["kernel"], d, lam)
                 conv["kernel_packed"] = jnp.asarray(pk)
+                if d > 1:
+                    # Dilation-1 packed kernel for the phase-split path
+                    # (each phase stream sees the dilated taps as adjacent).
+                    ps, _, _ = _pack_conv_weight(conv["kernel"], 1, lam)
+                    conv["kernel_packed_ps"] = jnp.asarray(ps)
             for conv in rb["convs2"]:
                 pk, _, _ = _pack_conv_weight(conv["kernel"], 1, lam)
                 conv["kernel_packed"] = jnp.asarray(pk)
@@ -182,14 +187,50 @@ def _conv_packed(xp: jnp.ndarray, conv: Params, k: int, dilation: int,
     return out + jnp.tile(conv["bias"], lam)
 
 
+def _conv_phase_split(xp: jnp.ndarray, conv: Params, k: int, dilation: int,
+                      lam: int, c: int) -> jnp.ndarray:
+    """Dilated conv via phase splitting (the PERF.md "phase-split
+    λ-packing"): a d-dilated centered conv only ever mixes samples of the
+    same residue t mod d, so split the signal into d phase streams (free
+    reshapes/transposes), run a *dilation-1* λ-packed conv per stream
+    (streams ride the batch dim), and interleave back.
+
+    Cuts the packed-kernel FLOP blowup from ≈(k−1)d/λ+1 blocks to
+    ≈(k−1)/λ+1, e.g. k=11 d=5 λ=2: 4.9× → 1.27× executed FLOPs. Exact:
+    stream-edge zero blocks correspond 1:1 to the original conv's zero
+    padding.
+    """
+    b, tb, cl = xp.shape  # packed (B, T/λ, λC)
+    d = dilation
+    t = tb * lam
+    x = xp.reshape(b, t, c)
+    # (B, T, C) → (B·d, T/d, C): stream s holds samples t ≡ s (mod d).
+    xs = (x.reshape(b, t // d, d, c).transpose(0, 2, 1, 3)
+          .reshape(b * d, t // d, c))
+    xsp = xs.reshape(b * d, t // (d * lam), lam * c)
+    pl_, pr = _pack_padding(k, 1, lam)
+    out = jax.lax.conv_general_dilated(
+        xsp, conv["kernel_packed_ps"], (1,), [(pl_, pr)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=xp.dtype)
+    out = out + jnp.tile(conv["bias"], lam)
+    out = (out.reshape(b, d, t // d, c).transpose(0, 2, 1, 3)
+           .reshape(b, tb, lam * c))
+    return out
+
+
 def apply_resblock_packed(params: Params, xp: jnp.ndarray, kernel_size: int,
                           dilations: tuple[int, ...], lam: int,
                           c: int) -> jnp.ndarray:
     """Whole resblock in packed layout; lrelu/residual are elementwise and
     therefore layout-invariant."""
+    t = xp.shape[1] * lam
     for c1, c2, d in zip(params["convs1"], params["convs2"], dilations):
         xt = _lrelu(xp)
-        xt = _conv_packed(xt, c1, kernel_size, d, lam, c)
+        if d > 1 and "kernel_packed_ps" in c1 and t % (d * lam) == 0:
+            xt = _conv_phase_split(xt, c1, kernel_size, d, lam, c)
+        else:
+            xt = _conv_packed(xt, c1, kernel_size, d, lam, c)
         xt = _lrelu(xt)
         xt = _conv_packed(xt, c2, kernel_size, 1, lam, c)
         xp = xt + xp

@@ -66,7 +66,15 @@ def _place(x, sh: NamedSharding):
     wrongly treat each host's slice as the whole global value."""
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sh, np.asarray(x))
-    return jax.device_put(x, sh)
+    try:
+        return jax.device_put(x, sh)
+    except jax.errors.JaxRuntimeError:
+        # Experimental remote backends occasionally reject device_put with
+        # shardings under load (observed: axon "UNIMPLEMENTED" mid-training
+        # while the same call succeeds in isolation). jit commits host
+        # arrays itself, so passing the host buffer through only costs the
+        # async-H2D overlap for this one batch.
+        return np.asarray(x)
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:

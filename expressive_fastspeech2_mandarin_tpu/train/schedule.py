@@ -20,8 +20,9 @@ def noam_schedule(
     warmup_steps: int,
     anneal_steps: tuple[int, ...],
     anneal_rate: float,
+    lr_scale: float = 1.0,
 ) -> optax.Schedule:
-    init_lr = d_model ** -0.5
+    init_lr = d_model ** -0.5 * lr_scale
 
     def schedule(count):
         step = jnp.asarray(count, jnp.float32) + 1.0  # first update = step 1
@@ -38,7 +39,7 @@ def make_optimizer(cfg: OptimizerConfig, d_model: int) -> optax.GradientTransfor
     (reference: train.py:89-97 clip_grad_norm_ + ScheduledOptim; grad
     accumulation train.py:63,89)."""
     schedule = noam_schedule(d_model, cfg.warm_up_step, cfg.anneal_steps,
-                             cfg.anneal_rate)
+                             cfg.anneal_rate, cfg.lr_scale)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_thresh),
         optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps),

@@ -80,3 +80,37 @@ def test_polyphase_transposed_conv_matches_conv_transpose():
         out = _upsample_poly(x, up, u)
         assert out.shape == ref.shape
         assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+
+
+def test_phase_split_dilated_conv_matches_plain():
+    """Phase-split λ-packing (PERF.md): a d-dilated conv decomposed into d
+    phase streams with a dilation-1 packed conv must be exact vs the plain
+    dilated conv, including zero-padding at the edges."""
+    from expressive_fastspeech2_mandarin_tpu.models.hifigan import (
+        _conv_phase_split,
+        _pack_conv_weight,
+    )
+    from expressive_fastspeech2_mandarin_tpu.ops import conv1d
+    from expressive_fastspeech2_mandarin_tpu.models.hifigan import get_padding
+
+    rng = np.random.default_rng(0)
+    for c, lam in ((32, 4), (64, 2)):
+        for k, d in ((11, 5), (11, 3), (7, 5), (3, 5), (7, 3)):
+            t = 2 * lam * d * 6  # divisible by d*lam
+            x = rng.normal(size=(2, t, c)).astype(np.float32)
+            kernel = rng.normal(size=(k, c, c)).astype(np.float32) * 0.1
+            bias = rng.normal(size=(c,)).astype(np.float32)
+
+            ref = conv1d(jnp.asarray(x), jnp.asarray(kernel),
+                         jnp.asarray(bias),
+                         padding=get_padding(k, d), dilation=d)
+
+            ps, _, _ = _pack_conv_weight(kernel, 1, lam)
+            conv = {"kernel_packed_ps": jnp.asarray(ps),
+                    "bias": jnp.asarray(bias)}
+            xp = jnp.asarray(x).reshape(2, t // lam, lam * c)
+            out = _conv_phase_split(xp, conv, k, d, lam, c)
+            out = np.asarray(out).reshape(2, t, c)
+            np.testing.assert_allclose(out, np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"c={c} k={k} d={d}")
