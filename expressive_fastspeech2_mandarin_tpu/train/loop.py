@@ -139,8 +139,20 @@ def train(cfg: Config, restore_step: int | None = None,
                                "profile")
 
     step = int(state.step)
-    epoch = 0
     _synth_cache: dict[int, object] = {}
+
+    def _dispatch(fn, st, batch):
+        """One step dispatch with a single drain-and-retry: the remote TPU
+        backend occasionally rejects a dispatch/compile with a transient
+        UNIMPLEMENTED while the async queue is deep; donated inputs are
+        only consumed by a successful execution, so a retry is safe."""
+        try:
+            return fn(st, batch)
+        except jax.errors.JaxRuntimeError as e:
+            print(f"transient backend error ({str(e)[:80]}); "
+                  "draining queue and retrying once")
+            jax.block_until_ready(st)
+            return fn(st, batch)
     sampler = None
     if is_main:
         from .sampling import SampleVocoder
@@ -175,71 +187,79 @@ def train(cfg: Config, restore_step: int | None = None,
             yield pending[:1]
             pending = pending[1:]
 
-    while step < total:
-        for group in _chunks(train_ds.epoch(epoch)):
-            prev_step = step
-            group = group[: max(total - step, 0)]  # don't overshoot total
-            if not group:
-                break
-            # Crossing check, not equality: with steps_per_call > 1 the host
-            # counter advances by the chunk size and can jump past the exact
-            # profile_start_step (same logic as the stop condition below).
-            if prev_step <= cfg.train.profile_start_step < step + len(group):
-                jax.profiler.start_trace(profile_dir)
-            if len(group) == spc and spc > 1:
-                stacked = {k: np.stack([b[k] for b in group])
-                           for k in group[0]}
-                stacked = shard_batch_chunk(mesh, stacked)
-                state, report = multi_step(state, stacked)
-            else:
-                for b in group:
-                    state, report = train_step(state, shard_batch(mesh, b))
-            # Track the step count on host: reading ``state.step`` back
-            # would sync every iteration and serialize dispatch with the
-            # device (async dispatch then overlaps the next batch's H2D
-            # transfer with this step's compute).
-            step += len(group)
-            for _ in range(len(group)):
-                logger.tick()
-            if prev_step < cfg.train.profile_stop_step <= step:
-                jax.block_until_ready(report)
-                jax.profiler.stop_trace()
-                print(f"profiler trace written to {profile_dir}")
+    def _batches_forever():
+        # Epochs stream back to back so lax.scan chunks carry across epoch
+        # boundaries (an epoch flush would otherwise spill spc-1 batches
+        # into the separately-compiled single-step path every epoch).
+        ep = 0
+        while True:
+            yield from train_ds.epoch(ep)
+            ep += 1
 
-            def crossed(every: int) -> bool:
-                # Chunked steps may jump past an exact multiple.
-                return step // every > prev_step // every
+    for group in _chunks(_batches_forever()):
+        prev_step = step
+        group = group[: max(total - step, 0)]  # don't overshoot total
+        if not group:
+            break
+        # Crossing check, not equality: with steps_per_call > 1 the host
+        # counter advances by the chunk size and can jump past the exact
+        # profile_start_step (same logic as the stop condition below).
+        if prev_step <= cfg.train.profile_start_step < step + len(group):
+            jax.profiler.start_trace(profile_dir)
+        if len(group) == spc and spc > 1:
+            stacked = {k: np.stack([b[k] for b in group])
+                       for k in group[0]}
+            stacked = shard_batch_chunk(mesh, stacked)
+            state, report = _dispatch(multi_step, state, stacked)
+        else:
+            for b in group:
+                state, report = _dispatch(train_step, state,
+                                      shard_batch(mesh, b))
+        # Track the step count on host: reading ``state.step`` back
+        # would sync every iteration and serialize dispatch with the
+        # device (async dispatch then overlaps the next batch's H2D
+        # transfer with this step's compute).
+        step += len(group)
+        for _ in range(len(group)):
+            logger.tick()
+        if prev_step < cfg.train.profile_stop_step <= step:
+            jax.block_until_ready(report)
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
 
-            if crossed(log_every):
-                d = _report_dict(report)
-                d["steps_per_sec"] = logger.steps_per_sec
-                if is_main:
-                    logger.log_losses(step, d)
-                # Failure detection (beyond the reference, which would train
-                # on silently): a non-finite loss saves an emergency
-                # checkpoint for post-mortem and aborts.
-                if not np.isfinite(d["total_loss"]):
-                    ckpt.save(step, state)
-                    logger.close()
-                    val_logger.close()
-                    raise FloatingPointError(
-                        f"non-finite loss at step {step}: {d} "
-                        f"(emergency checkpoint saved)")
-            if crossed(val_every):
-                # evaluate() is a collective (all hosts participate in the
-                # global-mesh eval steps); only the main host logs+samples.
-                val_losses = evaluate(eval_step, state, val_ds, mesh,
-                                      sample_ctx=sample_ctx, step=step)
-                if is_main:
-                    val_logger.log_losses(step, val_losses)
-            if crossed(synth_every) and is_main:
-                _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
-                              _synth_cache, sampler=sampler, tag="train")
-            if crossed(save_every):
+        def crossed(every: int) -> bool:
+            # Chunked steps may jump past an exact multiple.
+            return step // every > prev_step // every
+
+        if crossed(log_every):
+            d = _report_dict(report)
+            d["steps_per_sec"] = logger.steps_per_sec
+            if is_main:
+                logger.log_losses(step, d)
+            # Failure detection (beyond the reference, which would train
+            # on silently): a non-finite loss saves an emergency
+            # checkpoint for post-mortem and aborts.
+            if not np.isfinite(d["total_loss"]):
                 ckpt.save(step, state)
-            if step >= total:
-                break
-        epoch += 1
+                logger.close()
+                val_logger.close()
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}: {d} "
+                    f"(emergency checkpoint saved)")
+        if crossed(val_every):
+            # evaluate() is a collective (all hosts participate in the
+            # global-mesh eval steps); only the main host logs+samples.
+            val_losses = evaluate(eval_step, state, val_ds, mesh,
+                                  sample_ctx=sample_ctx, step=step)
+            if is_main:
+                val_logger.log_losses(step, val_losses)
+        if crossed(synth_every) and is_main:
+            _synth_sample(model, cfg, state, val_ds, corpus, logger, step,
+                          _synth_cache, sampler=sampler, tag="train")
+        if crossed(save_every):
+            ckpt.save(step, state)
+        if step >= total:
+            break
 
     ckpt.save(step, state)
     logger.close()
