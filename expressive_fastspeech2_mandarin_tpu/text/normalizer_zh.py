@@ -132,17 +132,17 @@ def _telephone(m):
     return verbalize_digits(m.group(1)) + verbalize_digits(m.group(2))
 
 
-@_rule(r"[¥￥]\s?([\d,]+(?:\.\d+)?)")
+@_rule(r"[¥￥]\s?(\d[\d,]*(?:\.\d+)?)")
 def _money_yuan(m):
     return _num(m.group(1)) + "元"
 
 
-@_rule(r"\$\s?([\d,]+(?:\.\d+)?)")
+@_rule(r"\$\s?(\d[\d,]*(?:\.\d+)?)")
 def _money_dollar(m):
     return _num(m.group(1)) + "美元"
 
 
-@_rule(r"([\d,]+(?:\.\d+)?)\s?%")
+@_rule(r"(\d[\d,]*(?:\.\d+)?)\s?%")
 def _percent(m):
     return "百分之" + _num(m.group(1))
 
@@ -192,20 +192,32 @@ def _acronym(m):
     return " ".join(m.group(0)) + " "
 
 
-@_rule(r"(-)?([\d,]+\.\d+)")
+@_rule(r"(-)?(\d[\d,]*\.\d+)")
 def _decimal(m):
     return ("负" if m.group(1) else "") + _num(m.group(2))
 
 
-@_rule(r"(-)?([\d,]+)")
+@_rule(r"(-)?(\d[\d,]*)")
 def _integer(m):
     return ("负" if m.group(1) else "") + _num(m.group(2))
 
 
+# Punctuation canonicalization (reference: normalizer/symbol.py
+# _symbol_to_symbol_dict) runs before pronunciations so "。。" collapses.
+_PUNCT = {
+    ",": "，", "：": "，", ":": "，", "…": "。", "。。": "。",
+    "!": "！", "?": "？", "●": "", "△": "", "＊": "",
+}
+
+# Symbol pronunciations (reference: normalizer/symbol.py
+# _symbol_to_pronunciation_dict + this repo's unit abbreviations).
 _SYMBOLS = {
     "＋": "加", "+": "加", "×": "乘", "÷": "除以", "=": "等于",
     "℃": "摄氏度", "km": "千米", "kg": "千克", "cm": "厘米",
     "mm": "毫米", "ml": "毫升", "㎡": "平方米",
+    "#": "井", "@": "欸特", "&": "和", "π": "派", "°": "度",
+    "α": "阿尔法", "β": "贝塔", "γ": "伽玛", "θ": "西塔", "μ": "缪",
+    "∵": "因为", "∴": "所以",
 }
 
 
@@ -213,6 +225,9 @@ def normalize_chinese(text: str) -> str:
     """Apply all rules left-to-right, earliest-match-wins per position."""
     for pattern, fn in _RULES:
         text = pattern.sub(fn, text)
+    for sym, repl in _PUNCT.items():
+        while sym in text:
+            text = text.replace(sym, repl)
     for sym, spoken in _SYMBOLS.items():
         text = text.replace(sym, spoken)
     return re.sub(r"\s+", " ", text).strip()

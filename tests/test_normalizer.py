@@ -81,3 +81,13 @@ def test_ratio():
     assert normalize_chinese("比分是3:2") == "比分是三比二"
     # HH:MM with two-digit minutes stays a time reading.
     assert normalize_chinese("现在是12:30") == "现在是十二点三十分"
+
+
+def test_symbol_punctuation_canonicalization():
+    """reference: normalizer/symbol.py — punctuation canonicalized to
+    full-width, special symbols spoken."""
+    assert normalize_chinese("你好,世界!") == "你好，世界！"
+    assert normalize_chinese("嗯…好") == "嗯。好"
+    assert normalize_chinese("水温90°") == "水温九十度"
+    assert normalize_chinese("派是π") == "派是派"
+    assert normalize_chinese("A&B") == "A和B"
