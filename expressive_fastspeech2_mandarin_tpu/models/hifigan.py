@@ -125,8 +125,8 @@ def _upsample_poly(x: jnp.ndarray, up: Params, stride: int) -> jnp.ndarray:
 def pack_generator_params(params: Params, cfg: VocoderConfig,
                           fused: bool = False,
                           fused_dtype=jnp.bfloat16,
-                          fused_stages: tuple[int, ...] | None = None
-                          ) -> Params:
+                          fused_stages: tuple[int, ...] | None = None,
+                          phase_split: bool = False) -> Params:
     """Augment generator params with precomputed polyphase kernels for the
     small-channel MRF stages. Call once after init/conversion; apply_generator
     picks the packed path up automatically.
@@ -134,6 +134,16 @@ def pack_generator_params(params: Params, cfg: VocoderConfig,
     ``fused=True`` additionally precomputes the stacked FIR taps consumed by
     the fused Pallas resblock kernel (ops/pallas/mrf_resblock.py) for every
     stage; apply_generator then runs the whole MRF VMEM-resident.
+
+    ``phase_split=True`` (measured opt-in, default OFF) additionally packs
+    dilation-1 kernels so dilated convs run via phase streams. The FLOP model
+    favors it (k=11 d=5 λ=2: 4.9× → 1.27× executed blocks), but on a real
+    v5e chip it LOSES big: full generator 104.2 ms with phase-split vs
+    59.6 ms without (B=8, T=1000 mel frames). The d phase streams shrink each
+    conv to T/(d·λ) steps — too short to amortize MXU ramp-up — and the two
+    reshape+transpose relayouts per conv add HBM round-trips that outweigh
+    the FLOP savings. Per the measure-then-adopt policy, any caller enabling
+    this must cite an end-to-end timing where it wins.
     """
     from ..ops.pallas.mrf_resblock import pack_resblock
 
@@ -165,7 +175,7 @@ def pack_generator_params(params: Params, cfg: VocoderConfig,
             for conv, d in zip(rb["convs1"], dil):
                 pk, _, _ = _pack_conv_weight(conv["kernel"], d, lam)
                 conv["kernel_packed"] = jnp.asarray(pk)
-                if d > 1:
+                if d > 1 and phase_split:
                     # Dilation-1 packed kernel for the phase-split path
                     # (each phase stream sees the dilated taps as adjacent).
                     ps, _, _ = _pack_conv_weight(conv["kernel"], 1, lam)

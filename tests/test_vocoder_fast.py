@@ -48,6 +48,27 @@ def test_packed_generator_parity():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_phase_split_is_opt_in_and_default_off():
+    """Round-2 regression guard: _conv_phase_split is 1.75x SLOWER end-to-end
+    on the real chip (104.2 vs 59.6 ms full generator, PERF.md), so
+    pack_generator_params must not emit its kernels unless explicitly asked."""
+    cfg = VocoderConfig()
+    voc = init_generator(jax.random.PRNGKey(1), cfg)
+    default = pack_generator_params(voc, cfg)
+    for rb in default["resblocks"]:
+        for conv in rb["convs1"]:
+            assert "kernel_packed_ps" not in conv
+    opted = pack_generator_params(voc, cfg, phase_split=True)
+    assert any("kernel_packed_ps" in conv
+               for rb in opted["resblocks"] for conv in rb["convs1"])
+    mel = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 20, 80)).astype(np.float32))
+    o1 = apply_generator(voc, mel, cfg, fast=False)
+    o2 = apply_generator(opted, mel, cfg, fast=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_unpacked_params_fall_back_to_plain_path():
     cfg = VocoderConfig()
     voc = init_generator(jax.random.PRNGKey(1), cfg)
