@@ -37,6 +37,7 @@
 
 #include "gmm.h"
 #include "hmm.h"
+#include "lda.h"
 #include "mfcc.h"
 #include "pinyin.h"
 #include "tree.h"
@@ -229,6 +230,9 @@ int Run(int argc, char** argv) {
   int mix_up = 4;
   bool adapt = true;      // fMLLR-style speaker adaptation between passes
   bool triphone = true;   // tied-state triphone second stage
+  bool lda = false;       // LDA feature-space stage after the mono pass
+  int lda_iters = 6;
+  LdaOptions lda_opts;
   int tri_iters = 6, tri_mix_up = 8;
   TriphoneBuildOptions tri_opts;
   for (int i = 2; i < argc; ++i) {
@@ -243,6 +247,10 @@ int Run(int argc, char** argv) {
     else if (a == "--threads") threads = std::stoi(next());
     else if (a == "--no-adapt") adapt = false;
     else if (a == "--no-triphone") triphone = false;
+    else if (a == "--lda") lda = true;
+    else if (a == "--lda-dim") lda_opts.target_dim = std::stoi(next());
+    else if (a == "--lda-context") lda_opts.context = std::stoi(next());
+    else if (a == "--lda-iters") lda_iters = std::stoi(next());
     else if (a == "--tri-iters") tri_iters = std::stoi(next());
     else if (a == "--tri-mix-up") tri_mix_up = std::stoi(next());
     else if (a == "--tri-min-gain") tri_opts.min_gain = std::stof(next());
@@ -255,6 +263,7 @@ int Run(int argc, char** argv) {
                  "usage: efs2-aligner {align|train} --corpus DIR "
                  "[--out DIR] [--model FILE] [--lexicon FILE] [--iters N] "
                  "[--mix-up M] [--threads N] [--no-adapt] [--no-triphone] "
+                 "[--lda] [--lda-dim D] [--lda-context C] [--lda-iters N] "
                  "[--tri-iters N] [--tri-mix-up M] [--tri-min-gain G] "
                  "[--tri-min-count C] [--tri-max-leaves L]\n");
     return 2;
@@ -289,13 +298,31 @@ int Run(int argc, char** argv) {
   });
   std::fprintf(stderr, "features done (%d failed)\n", failed.load());
   const float shift_s = mfcc_cfg.frame_shift_ms / 1000.0f;
-  const int dim = mfcc_cfg.deltas ? mfcc_cfg.num_ceps * 3 : mfcc_cfg.num_ceps;
+  int dim = mfcc_cfg.deltas ? mfcc_cfg.num_ceps * 3 : mfcc_cfg.num_ceps;
+  lda_opts.num_static = mfcc_cfg.num_ceps;
 
   bool have_model = false;
   if (!model_path.empty()) {
     std::vector<std::string> phones;
     std::vector<DiagGmm> gmms;
     if (ReadGmms(model_path, &phones, &gmms)) {
+      // A saved LDA sidecar means the model's GMMs live in the projected
+      // space: transform the features first so dimensions match.
+      FILE* lf = std::fopen((model_path + ".lda").c_str(), "rb");
+      if (lf) {
+        std::vector<float> proj;
+        if (ReadLda(lf, &lda_opts, &proj)) {
+          ParallelFor(int(utts.size()), threads, [&](int i, int) {
+            FeatureMatrix out;
+            LdaTransform(utts[i].feats, proj, lda_opts, &out);
+            utts[i].feats = std::move(out);
+          });
+          dim = lda_opts.target_dim;
+          lda = false;  // already applied
+          std::fprintf(stderr, "loaded LDA projection (%d dims)\n", dim);
+        }
+        std::fclose(lf);
+      }
       // Remap to current phone table.
       AcousticModel loaded;
       for (const auto& p : phones) loaded.AddPhone(p);
@@ -303,7 +330,7 @@ int Run(int argc, char** argv) {
       bool ok = true;
       for (const auto& p : model.phones)
         if (!loaded.phone_ids.count(p)) ok = false;
-      if (ok) {
+      if (ok && !loaded.gmms.empty() && loaded.gmms[0].dim == dim) {
         for (size_t ph = 0; ph < model.phones.size(); ++ph) {
           int lp = loaded.phone_ids[model.phones[ph]];
           for (int k = 0; k < kStatesPerPhone; ++k)
@@ -315,6 +342,60 @@ int Run(int argc, char** argv) {
       }
     }
   }
+
+  // Viterbi-EM over the monophone model (shared by the flat-start stage and
+  // the post-LDA re-estimation; `dim` is captured by reference since LDA
+  // changes the feature space between calls).
+  auto run_viterbi_em = [&](int n_iters, int mix_to, bool flat_first,
+                            const char* tag) {
+    for (int iter = 0; iter < n_iters; ++iter) {
+      std::vector<std::vector<GmmAccumulator>> worker_accs(threads);
+      for (auto& wa : worker_accs) {
+        wa.resize(n_pdfs);
+        for (int p = 0; p < n_pdfs; ++p)
+          wa[p].Resize(model.gmms[p].NumComps(), dim);
+      }
+      std::atomic<long long> frames_done(0);
+      double total_ll = 0;
+      std::mutex ll_mu;
+      bool flat = flat_first && iter == 0;
+      ParallelFor(int(utts.size()), threads, [&](int i, int w) {
+        auto& u = utts[i];
+        if (u.feats.rows < int(u.segments.size())) return;
+        std::vector<AlignedSegment> segs;
+        if (flat) {
+          FlatStartAlign(u.segments, u.feats.rows, &segs);
+        } else {
+          float ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
+          if (!std::isfinite(ll)) return;
+          std::lock_guard<std::mutex> lk(ll_mu);
+          total_ll += ll;
+        }
+        std::vector<int> pdfs;
+        AlignmentToPdfIds(model, segs, &pdfs);
+        for (int t = 0; t < int(pdfs.size()) && t < u.feats.rows; ++t)
+          if (pdfs[t] >= 0)
+            worker_accs[w][pdfs[t]].Add(model.gmms[pdfs[t]], u.feats.Row(t),
+                                        1.0f);
+        frames_done.fetch_add(u.feats.rows);
+      });
+      for (int p = 0; p < n_pdfs; ++p) {
+        for (int w = 1; w < threads; ++w)
+          worker_accs[0][p].Merge(worker_accs[w][p]);
+        UpdateGmm(worker_accs[0][p], 0.01f, &model.gmms[p]);
+      }
+      // Mixture splitting schedule: double comps until mix_to.
+      if (model.gmms[0].NumComps() < mix_to && iter >= 1 && iter % 2 == 1) {
+        for (auto& g : model.gmms) g.Split();
+      }
+      std::fprintf(stderr,
+                   "%s iter %d: %lld frames, avg ll/frame %.3f, comps %d\n",
+                   tag, iter, frames_done.load(),
+                   flat ? 0.0
+                        : total_ll / std::max(1.0, double(frames_done.load())),
+                   model.gmms[0].NumComps());
+    }
+  };
 
   if (!have_model) {
     // ---- Flat start: global mean/var, then uniform-alignment stats.
@@ -336,59 +417,85 @@ int Run(int argc, char** argv) {
     }
     for (auto& g : model.gmms) g.Init(dim, gmean.data(), gvar.data());
 
-    // ---- Viterbi-EM iterations.
-    for (int iter = 0; iter < iters; ++iter) {
-      std::vector<GmmAccumulator> accs(threads);
-      for (auto& a : accs) {
-        a.dim = dim;
-      }
-      std::vector<std::vector<GmmAccumulator>> worker_accs(threads);
-      for (auto& wa : worker_accs) {
-        wa.resize(n_pdfs);
-        for (int p = 0; p < n_pdfs; ++p)
-          wa[p].Resize(model.gmms[p].NumComps(), dim);
-      }
-      std::atomic<long long> frames_done(0);
-      double total_ll = 0;
-      std::mutex ll_mu;
-      ParallelFor(int(utts.size()), threads, [&](int i, int w) {
-        auto& u = utts[i];
-        if (u.feats.rows < int(u.segments.size())) return;
-        std::vector<AlignedSegment> segs;
-        if (iter == 0) {
-          FlatStartAlign(u.segments, u.feats.rows, &segs);
-        } else {
-          float ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
-          if (!std::isfinite(ll)) return;
-          std::lock_guard<std::mutex> lk(ll_mu);
-          total_ll += ll;
-        }
-        std::vector<int> pdfs;
-        AlignmentToPdfIds(model, segs, &pdfs);
-        for (int t = 0; t < int(pdfs.size()) && t < u.feats.rows; ++t)
-          if (pdfs[t] >= 0)
-            worker_accs[w][pdfs[t]].Add(model.gmms[pdfs[t]], u.feats.Row(t),
-                                        1.0f);
-        frames_done.fetch_add(u.feats.rows);
-      });
-      for (int p = 0; p < n_pdfs; ++p) {
-        for (int w = 1; w < threads; ++w)
-          worker_accs[0][p].Merge(worker_accs[w][p]);
-        UpdateGmm(worker_accs[0][p], 0.01f, &model.gmms[p]);
-      }
-      // Mixture splitting schedule: double comps until mix_up.
-      if (model.gmms[0].NumComps() < mix_up &&
-          iter >= 1 && iter % 2 == 1) {
-        for (auto& g : model.gmms) g.Split();
-      }
-      std::fprintf(stderr,
-                   "iter %d: %lld frames, avg ll/frame %.3f, comps %d\n",
-                   iter, frames_done.load(),
-                   iter ? total_ll / std::max(1.0, double(frames_done.load()))
-                        : 0.0,
-                   model.gmms[0].NumComps());
-    }
+    run_viterbi_em(iters, mix_up, /*flat_first=*/true, "mono");
     if (!model_path.empty()) WriteGmms(model_path, model.phones, model.gmms);
+  }
+
+  // ---- LDA feature-space stage (reference: MFA's mono→LDA chain,
+  // MFA/montreal_forced_aligner/acoustic_modeling/lda_trainer.py driving
+  // Kaldi acc-lda/est-lda): monophone-alignment classes over spliced static
+  // cepstra → discriminant projection → corpus transformed → GMMs
+  // re-estimated in the projected space.
+  if (lda) {
+    const int sd = lda_opts.num_static * (2 * lda_opts.context + 1);
+    std::vector<LdaStats> wlda(threads);
+    for (auto& s : wlda) s.Resize(sd, n_pdfs);
+    std::vector<std::vector<int>> frame_pdfs(utts.size());
+    ParallelFor(int(utts.size()), threads, [&](int i, int w) {
+      auto& u = utts[i];
+      std::vector<AlignedSegment> segs;
+      float ll = ViterbiAlign(model, u.segments, u.feats, 0.6f, &segs);
+      if (!std::isfinite(ll)) return;
+      AlignmentToPdfIds(model, segs, &frame_pdfs[i]);
+      std::vector<float> spliced(sd);
+      const auto& pdfs = frame_pdfs[i];
+      for (int t = 0; t < int(pdfs.size()) && t < u.feats.rows; ++t) {
+        if (pdfs[t] < 0) continue;
+        SpliceRow(u.feats, t, lda_opts, spliced.data());
+        LdaAccumulate(spliced.data(), pdfs[t], &wlda[w]);
+      }
+    });
+    for (int w = 1; w < threads; ++w) wlda[0].Merge(wlda[w]);
+    auto proj = EstimateLda(wlda[0], lda_opts.target_dim);
+    ParallelFor(int(utts.size()), threads, [&](int i, int) {
+      FeatureMatrix out;
+      LdaTransform(utts[i].feats, proj, lda_opts, &out);
+      utts[i].feats = std::move(out);
+    });
+    dim = lda_opts.target_dim;
+    // Re-seed the GMMs in the projected space from the saved alignment
+    // (single component per pdf; mixtures regrow during re-estimation).
+    std::vector<std::vector<double>> psum(n_pdfs), psum2(n_pdfs);
+    std::vector<double> pcount(n_pdfs, 0.0);
+    for (int p = 0; p < n_pdfs; ++p) {
+      psum[p].assign(dim, 0.0);
+      psum2[p].assign(dim, 0.0);
+    }
+    for (size_t i = 0; i < utts.size(); ++i) {
+      const auto& pdfs = frame_pdfs[i];
+      const auto& f = utts[i].feats;
+      for (int t = 0; t < int(pdfs.size()) && t < f.rows; ++t) {
+        int p = pdfs[t];
+        if (p < 0) continue;
+        const float* x = f.Row(t);
+        pcount[p] += 1;
+        for (int d = 0; d < dim; ++d) {
+          psum[p][d] += x[d];
+          psum2[p][d] += double(x[d]) * x[d];
+        }
+      }
+    }
+    for (int p = 0; p < n_pdfs; ++p) {
+      std::vector<float> mean(dim, 0.0f), var(dim, 1.0f);
+      if (pcount[p] >= 3) {
+        for (int d = 0; d < dim; ++d) {
+          mean[d] = float(psum[p][d] / pcount[p]);
+          var[d] = std::max(
+              float(psum2[p][d] / pcount[p] - mean[d] * mean[d]), 1e-3f);
+        }
+      }
+      model.gmms[p].Init(dim, mean.data(), var.data());
+    }
+    std::fprintf(stderr, "lda: projected to %d dims (spliced %d)\n", dim, sd);
+    run_viterbi_em(lda_iters, mix_up, /*flat_first=*/false, "lda");
+    if (!model_path.empty()) {
+      WriteGmms(model_path, model.phones, model.gmms);
+      FILE* f = std::fopen((model_path + ".lda").c_str(), "wb");
+      if (f) {
+        WriteLda(f, lda_opts, proj);
+        std::fclose(f);
+      }
+    }
   }
 
   // ---- Speaker-adaptive second pass (diagonal fMLLR): first-pass align,

@@ -215,3 +215,66 @@ def test_triphone_tree_splits_on_context(tmp_path):
                         model_path=model_path, threads=2)
     assert "loaded triphone model" in log2
     assert "aligned 40 utterances" in log2
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_lda_stage(tmp_path):
+    """Opt-in LDA feature-space stage (MFA equivalent:
+    MFA/montreal_forced_aligner/acoustic_modeling/lda_trainer.py): splice
+    +-3 static cepstra, project to a class-discriminant subspace, re-run
+    Viterbi-EM in the projected space. Must keep boundary accuracy on the
+    clean synthetic corpus and round-trip its .lda sidecar.
+
+    Default-OFF rationale (measured, ALIGN_BENCH.md): the spliced window
+    blurs boundary localization on real speech, so the shipped chain stops
+    at mono->fMLLR->tri."""
+    from expressive_fastspeech2_mandarin_tpu.align import (
+        align_corpus,
+        ensure_built,
+    )
+
+    ensure_built()
+    rng = np.random.default_rng(2)
+    corpus = tmp_path / "corpus" / "0001"
+    os.makedirs(corpus)
+    truth = {}
+    for i in range(30):
+        phones = ["b", "a", "n", "h", "ao"]
+        durs = rng.uniform(0.08, 0.2, len(phones))
+        wav = _render(rng, phones, durs)
+        base = f"0001_{i:06d}"
+        save_wav(str(corpus / f"{base}.wav"), wav, SR)
+        with open(corpus / f"{base}.lab", "w") as f:
+            f.write("ban hao\n")
+        t0, bounds = 0.08, []
+        for p, d in zip(phones, durs):
+            bounds.append((p, t0, t0 + d))
+            t0 += d
+        truth[base] = bounds
+
+    model_path = str(tmp_path / "am.bin")
+    log = align_corpus(str(tmp_path / "corpus"), str(tmp_path / "tg"),
+                       model_path=model_path, iters=6, threads=2,
+                       extra_args=["--lda"])
+    assert "lda: projected to 40 dims" in log
+    assert "aligned 30 utterances" in log
+    assert os.path.exists(model_path + ".lda")
+
+    errs = []
+    for base, bounds in truth.items():
+        tg = read_textgrid(str(tmp_path / "tg" / "0001" / f"{base}.TextGrid"))
+        tier = tg.get_tier_by_name("phones")
+        pred = [(iv.text, iv.start, iv.end) for iv in tier.intervals
+                if iv.text not in ("", "sil", "sp")]
+        assert [p for p, _, _ in pred] == [p for p, _, _ in bounds]
+        for (_, ta, tb), (_, pa, pb) in zip(bounds, pred):
+            errs += [abs(ta - pa), abs(tb - pb)]
+    mean_err = float(np.mean(errs))
+    assert mean_err < 0.05, f"mean boundary error {mean_err*1000:.1f}ms"
+
+    # Sidecar round-trip: aligning with the saved model must re-apply the
+    # projection (GMMs live in the projected space).
+    log2 = align_corpus(str(tmp_path / "corpus"), str(tmp_path / "tg2"),
+                        model_path=model_path, threads=2)
+    assert "loaded LDA projection (40 dims)" in log2
+    assert "aligned 30 utterances" in log2
