@@ -329,6 +329,20 @@ def main():
         " weights are git-LFS pointers, absent from this environment).",
         "",
     ]
+    from expressive_fastspeech2_mandarin_tpu.cli.validate import (
+        validate_synth,
+    )
+
+    health = validate_synth(args.report_dir, expected_sr=SR)
+    lines += [
+        "Audio health (`efs2-validate synth --result-dir "
+        "reports/convergence`):",
+        "```json",
+        json.dumps(health, indent=2),
+        "```",
+        "",
+    ]
+    assert health["ok"], f"synth audio-health check failed: {health}"
     with open(os.path.join(args.report_dir, "CONVERGENCE.md"), "w") as f:
         f.write("\n".join(lines))
     print(json.dumps(checks, indent=2))

@@ -87,6 +87,17 @@ class Synthesizer:
         self.emotion_maps = emotion_maps or {}
         self.melstft = MelSTFT(cfg.preprocess.stft, cfg.preprocess.mel,
                                cfg.preprocess.audio.sampling_rate)
+        self._melstft_cpu_cache = None
+
+    @property
+    def _melstft_cpu(self) -> MelSTFT:
+        """MelSTFT whose constant tables live on CPU (Griffin-Lim path)."""
+        if self._melstft_cpu_cache is None:
+            with jax.default_device(jax.devices("cpu")[0]):
+                self._melstft_cpu_cache = MelSTFT(
+                    self.cfg.preprocess.stft, self.cfg.preprocess.mel,
+                    self.cfg.preprocess.audio.sampling_rate)
+        return self._melstft_cpu_cache
 
     # -- constructors -------------------------------------------------------
 
@@ -258,7 +269,20 @@ class Synthesizer:
             # Mel-only path (e.g. feeding the streaming vocoder).
             wavs = np.zeros((n, mel.shape[1] * hop), np.float32)
         else:
-            wavs = np.asarray(self.melstft.mel_to_audio(mel))
+            # Griffin-Lim pinned to CPU: its complex-FFT iteration is
+            # UNIMPLEMENTED on remote-attached TPU backends (and a fallback
+            # path never needs the accelerator anyway).
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                wavs = np.asarray(self._melstft_cpu.mel_to_audio(
+                    jax.device_put(np.asarray(mel), cpu)))
+            # Griffin-Lim phase reconstruction has no absolute scale; pull
+            # any over-full-scale utterance down to 0.95 peak so the int16
+            # write (utils/wav.py:save_wav) never clips.
+            peaks = np.abs(wavs).max(axis=1, keepdims=True)
+            scale = np.where(peaks > 0.95, 0.95 / np.maximum(peaks, 1e-9),
+                             1.0)
+            wavs = (wavs * scale).astype(np.float32)
 
         results = []
         mel_np = np.asarray(mel)

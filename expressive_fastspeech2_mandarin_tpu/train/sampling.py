@@ -87,15 +87,28 @@ class SampleVocoder:
             wav = np.asarray(self._voc_fn(t_pad)(
                 self._voc_params, jnp.asarray(mel_in)), np.float32)[0]
             return wav[: t * self.hop]
+        # Griffin-Lim runs pinned to CPU: it is a logging-only fallback, and
+        # its 20-iteration complex-FFT/scatter program is pathological on
+        # remote-attached TPU backends (compile takes minutes and a mid-run
+        # compile rejection can poison in-flight train dispatches — observed
+        # as UNIMPLEMENTED killing the round-3 convergence run at the first
+        # synth_step crossing).
+        cpu = jax.devices("cpu")[0]
         if self._stft is None:
             from ..dsp import MelSTFT
 
-            self._stft = MelSTFT(self.cfg.preprocess.stft,
-                                 self.cfg.preprocess.mel,
-                                 self.cfg.preprocess.audio.sampling_rate)
-        wav = np.asarray(self._stft.mel_to_audio(
-            mel[None, :t], n_iters=20), np.float32)[0]
+            with jax.default_device(cpu):
+                self._stft = MelSTFT(self.cfg.preprocess.stft,
+                                     self.cfg.preprocess.mel,
+                                     self.cfg.preprocess.audio.sampling_rate)
+        with jax.default_device(cpu):
+            wav = np.asarray(self._stft.mel_to_audio(
+                jax.device_put(mel[None, :t], cpu), n_iters=20),
+                np.float32)[0]
         wav = wav[: t * self.hop]
         if wav.shape[0] < t * self.hop:  # iSTFT yields (t-1)*hop samples
             wav = np.pad(wav, (0, t * self.hop - wav.shape[0]))
+        peak = float(np.abs(wav).max())
+        if peak > 0.95:  # GL phase has no absolute scale; avoid int16 clip
+            wav = (wav * (0.95 / peak)).astype(np.float32)
         return wav
