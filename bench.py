@@ -3,14 +3,40 @@
 Prints ONE JSON line. Primary metric: training steps/s at the reference's
 batch size 4 (baseline: 3.5 steps/s on a GTX 1080 Ti, derived from
 README.md:232-233 — 900k steps in 72 h). Extra fields report synthesis
-audio-seconds/s/chip and RTF (mel + HiFi-GAN vocoder), the BASELINE.json
-headline metric with no published reference value.
+audio-seconds/s/chip and RTF (mel + HiFi-GAN vocoder) — the BASELINE.json
+headline metric with no published reference value — plus:
+
+* ``train_steps_per_s_e2e``: the real ``train()`` driver on an on-disk
+  synthetic corpus (host data pipeline + collate + H2D included, measured
+  from the metrics.jsonl wall clock after the compile chunk), validating
+  that the staged-input headline survives contact with actual data loading.
+* ``train_mfu`` / ``synth_mfu``: model FLOP utilization from XLA's own
+  compiled cost analysis against the v5e bf16 peak (197 TFLOP/s). A perf
+  regression then shows up as an MFU drop, not a mystery ratio change.
+* ``synth_generator_ms``: HiFi-GAN generator alone (B=8 × 1000 frames),
+  the number the round-2 phase-split regression would have caught.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+V5E_BF16_PEAK = 197e12  # FLOP/s, one v5e chip
+
+
+def _cost_flops(compiled) -> float | None:
+    """FLOPs per call from XLA's compiled cost analysis (None if the
+    backend doesn't report it)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def _train_bench(jax, steps=30, b=4, s=64, t=500, steps_per_call=10):
@@ -75,7 +101,15 @@ def _train_bench(jax, steps=30, b=4, s=64, t=500, steps_per_call=10):
         state, report = multi_fn(state, stacked)
     jax.block_until_ready(report)
     multi = (time.perf_counter() - t0) / (rounds * steps_per_call)
-    return 1.0 / multi, 1.0 / single
+
+    # MFU from XLA's own cost analysis of the compiled chunk (the AOT
+    # lowering hits the persistent compilation cache warmed by the jit call
+    # above). Forward+backward+Adam FLOPs per optimizer step / step time.
+    mfu = None
+    flops = _cost_flops(multi_fn.lower(state, stacked).compile())
+    if flops:
+        mfu = (flops / steps_per_call) / multi / V5E_BF16_PEAK
+    return 1.0 / multi, 1.0 / single, mfu
 
 
 def _synth_bench(jax, iters=10, b=8, s=64, t=1000, hop=256, sr=22050):
@@ -131,15 +165,145 @@ def _synth_bench(jax, iters=10, b=8, s=64, t=1000, hop=256, sr=22050):
     jax.block_until_ready(wav)
     dt = (time.perf_counter() - t0) / iters
     audio_seconds = b * t * hop / sr
-    return audio_seconds / dt, dt / audio_seconds
+
+    # Generator-only timing + MFU: the number that catches vocoder-path
+    # regressions directly (round 2's phase-split default shipped unnoticed
+    # because only the combined ratio was captured).
+    mel_in = jnp.asarray(
+        np.random.default_rng(1).normal(size=(b, t, 80)), jnp.bfloat16)
+    gen = jax.jit(lambda v, m: apply_generator(v, m, cfg.model.vocoder))
+    w = gen(voc, mel_in)
+    jax.block_until_ready(w)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        w = gen(voc, mel_in)
+    jax.block_until_ready(w)
+    gen_dt = (time.perf_counter() - t0) / iters
+    gen_mfu = None
+    flops = _cost_flops(gen.lower(voc, mel_in).compile())
+    if flops:
+        gen_mfu = flops / gen_dt / V5E_BF16_PEAK
+    return audio_seconds / dt, dt / audio_seconds, gen_dt, gen_mfu
+
+
+def _write_bench_corpus(root: str, n_train=288, n_val=8, seed=0):
+    """Reference-format preprocessed corpus of synthetic features (random
+    mels/pitch/energy, consistent durations) — enough to drive the real
+    train() data pipeline; no audio processing involved."""
+    rng = np.random.default_rng(seed)
+    speakers = ["0001", "0002", "0003", "0004"]
+    emotions = [("Happy", "0.8", "0.8"), ("Sad", "0.3", "0.2"),
+                ("Angry", "0.9", "0.1")]
+    for kind in ("mel", "pitch", "energy", "duration"):
+        os.makedirs(os.path.join(root, kind), exist_ok=True)
+    lines = {"train.txt": [], "val.txt": []}
+    for i in range(n_train + n_val):
+        spk = speakers[i % len(speakers)]
+        emo, aro, val = emotions[i % len(emotions)]
+        s = int(rng.integers(48, 65))
+        dur = rng.integers(5, 10, s).astype(np.int64)
+        while dur.sum() > 500:
+            dur[dur.argmax()] -= 1
+        t = int(dur.sum())
+        base = f"bench_{i:06d}"
+        np.save(os.path.join(root, "mel", f"{spk}-mel-{base}.npy"),
+                rng.normal(-1, 1, (t, 80)).astype(np.float32))
+        np.save(os.path.join(root, "pitch", f"{spk}-pitch-{base}.npy"),
+                rng.normal(0, 1, s).astype(np.float32))
+        np.save(os.path.join(root, "energy", f"{spk}-energy-{base}.npy"),
+                rng.normal(0, 1, s).astype(np.float32))
+        np.save(os.path.join(root, "duration", f"{spk}-duration-{base}.npy"),
+                dur)
+        phones = " ".join(str(p) for p in rng.integers(4, 107, s))
+        line = f"{base}|{spk}|{{{phones}}}|bench|{spk}|bench|{emo}|{aro}|{val}"
+        lines["val.txt" if i >= n_train else "train.txt"].append(line)
+    for name, ls in lines.items():
+        with open(os.path.join(root, name), "w") as f:
+            f.write("\n".join(ls) + "\n")
+    with open(os.path.join(root, "speakers.json"), "w") as f:
+        json.dump({s: i for i, s in enumerate(speakers)}, f)
+    with open(os.path.join(root, "emotions.json"), "w") as f:
+        json.dump({
+            "emotion_dict": {e: i for i, (e, _, _) in enumerate(emotions)},
+            "arousal_dict": {a: i for i, (_, a, _) in enumerate(emotions)},
+            "valence_dict": {v: i for i, (_, _, v) in enumerate(emotions)},
+        }, f)
+    with open(os.path.join(root, "stats.json"), "w") as f:
+        json.dump({"pitch": [-3.0, 3.0, 0.0, 1.0],
+                   "energy": [-3.0, 3.0, 0.0, 1.0]}, f)
+
+
+def _train_e2e_bench(jax, total=600, measure_from=200):
+    """The real train() driver end-to-end (host data pipeline included);
+    steady-state steps/s from the metrics.jsonl wall clock past the
+    compile chunk."""
+    import contextlib
+    import shutil
+    import sys
+    import tempfile
+
+    from expressive_fastspeech2_mandarin_tpu.config import (
+        BucketConfig,
+        Config,
+        ModelConfig,
+        OptimizerConfig,
+        PathConfig,
+        PreprocessConfig,
+        StepConfig,
+        TrainConfig,
+    )
+    from expressive_fastspeech2_mandarin_tpu.train.loop import train
+
+    work = tempfile.mkdtemp(prefix="efs2_bench_")
+    try:
+        pre = os.path.join(work, "preprocessed")
+        _write_bench_corpus(pre)
+        never = 1 << 30  # keep periodic actions out of the measurement
+        cfg = Config(
+            preprocess=PreprocessConfig(
+                path=PathConfig(preprocessed_path=pre)),
+            model=ModelConfig(n_speakers=4, n_emotions=3, n_arousals=3,
+                              n_valences=3),
+            train=TrainConfig(
+                path=PathConfig(ckpt_path=os.path.join(work, "ckpt"),
+                                log_path=os.path.join(work, "log"),
+                                result_path=os.path.join(work, "result")),
+                optimizer=OptimizerConfig(batch_size=4),
+                step=StepConfig(total_step=total, log_step=50,
+                                synth_step=never, val_step=never,
+                                save_step=never),
+                buckets=BucketConfig(src_buckets=(64,), mel_buckets=(500,)),
+                steps_per_call=10,
+            ),
+        )
+        with contextlib.redirect_stdout(sys.stderr):
+            train(cfg, total_steps=total)
+        with open(os.path.join(work, "log", "train", "metrics.jsonl")) as f:
+            recs = [json.loads(ln) for ln in f if ln.strip()]
+        recs = [r for r in recs if r["step"] >= measure_from]
+        if len(recs) < 2:
+            return None
+        return ((recs[-1]["step"] - recs[0]["step"])
+                / (recs[-1]["time"] - recs[0]["time"]))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main():
     import jax
 
+    try:
+        from expressive_fastspeech2_mandarin_tpu.cli.common import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
+    except Exception:
+        pass
     backend = jax.default_backend()
-    train_steps_per_s, single_steps_per_s = _train_bench(jax)
-    audio_s_per_s, rtf = _synth_bench(jax)
+    train_steps_per_s, single_steps_per_s, train_mfu = _train_bench(jax)
+    audio_s_per_s, rtf, gen_dt, synth_mfu = _synth_bench(jax)
+    e2e = _train_e2e_bench(jax)
     baseline = 3.5  # steps/s, GTX 1080 Ti (derived, README.md:232-233)
     print(json.dumps({
         "metric": "train_steps_per_s_bs4",
@@ -148,8 +312,12 @@ def main():
         "vs_baseline": round(train_steps_per_s / baseline, 2),
         "extra": {
             "train_steps_per_s_single_dispatch": round(single_steps_per_s, 2),
+            "train_steps_per_s_e2e": (round(e2e, 2) if e2e else None),
+            "train_mfu": (round(train_mfu, 4) if train_mfu else None),
             "synth_audio_seconds_per_s_per_chip": round(audio_s_per_s, 1),
             "synth_rtf": round(rtf, 5),
+            "synth_generator_ms": round(gen_dt * 1e3, 1),
+            "synth_mfu": (round(synth_mfu, 4) if synth_mfu else None),
             "backend": backend,
             "synth_config": "batch 8 x 1000 mel frames, FastSpeech2 + HiFi-GAN",
         },
