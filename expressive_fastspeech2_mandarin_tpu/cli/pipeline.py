@@ -22,6 +22,10 @@ def main() -> None:
     ap.add_argument("--total_steps", type=int, default=None)
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--align-iters", type=int, default=8)
+    ap.add_argument("--lexicon", default=None,
+                    help="MFA-format pronunciation dictionary for the "
+                         "aligner (default: cfg.path.lexicon_path if it "
+                         "exists, else the built-in pinyin decomposition)")
     args = ap.parse_args()
 
     cfg = config_from_args(args)
@@ -43,10 +47,14 @@ def main() -> None:
     if not os.path.isdir(tg_dir) or not os.listdir(tg_dir):
         from ..align import align_corpus
 
+        lexicon = args.lexicon
+        if lexicon is None and os.path.exists(
+                cfg.preprocess.path.lexicon_path):
+            lexicon = cfg.preprocess.path.lexicon_path
         print("[2/4] forced alignment (native aligner) ...")
         log = align_corpus(raw, tg_dir,
                            model_path=os.path.join(pre, "acoustic_model.bin"),
-                           iters=args.align_iters)
+                           iters=args.align_iters, lexicon=lexicon)
         print(log.strip().splitlines()[-1])
     else:
         print("[2/4] alignment: skipped (TextGrids present)")

@@ -100,12 +100,30 @@ def load_symbol_table(path: str, name: str | None = None) -> str:
     return name
 
 
+def _resolve_table_name(name: str) -> str:
+    """Auto-load a harvested-inventory JSON when ``name`` is a path — makes
+    ``symbol_table: path/to/inventory.json`` in preprocess.yaml work across
+    every CLI/subprocess without an explicit load call. Registered under
+    the path string itself so repeated lookups hit the cache."""
+    if (name not in _CUSTOM_TABLES and name.endswith(".json")):
+        import json
+        import os
+
+        if os.path.exists(name):
+            with open(name) as f:
+                data = json.load(f)
+            register_symbol_table(name, data["phonemes"],
+                                  data.get("prefix", "@"))
+    return name
+
+
 def get_symbols(name: str) -> list[str]:
     """Return the ordered symbol list for the given inventory name."""
     if name == "pinyin":
         return PINYIN_SYMBOLS
     if name == "ipa":
         return IPA_SYMBOLS
+    name = _resolve_table_name(name)
     if name in _CUSTOM_TABLES:
         return _CUSTOM_TABLES[name]
     raise ValueError(f"unknown symbol inventory: {name!r}")
@@ -117,6 +135,7 @@ def get_symbol_table(name: str) -> dict[str, int]:
         return PINYIN_TO_ID
     if name == "ipa":
         return IPA_TO_ID
+    name = _resolve_table_name(name)
     if name in _CUSTOM_TABLES:
         return {s: i for i, s in enumerate(_CUSTOM_TABLES[name])}
     raise ValueError(f"unknown symbol inventory: {name!r}")

@@ -65,6 +65,23 @@ def test_custom_table_roundtrip(tmp_path):
     assert len(ids) == 2 and all(i >= 64 for i in ids)
 
 
+def test_symbol_table_json_path_autoload(tmp_path):
+    """``symbol_table: path/to/inventory.json`` must work everywhere a table
+    name is accepted (config -> dataset -> CLI subprocess) without an
+    explicit load call."""
+    root = str(tmp_path / "tg")
+    _corpus(root)
+    inv_path = str(tmp_path / "inv.json")
+    write_inventory(harvest_phones(root), inv_path, name="autoload-test")
+    # No load_symbol_table call: the path itself is the table name.
+    table = symbols.get_symbol_table(inv_path)
+    assert table[symbols.PAD] == 0 and "@a˧˥" in table
+    syms = symbols.get_symbols(inv_path)
+    assert syms[symbols.PAD_ID] == symbols.PAD  # base symbols lead
+    ids = phonemes_to_ids(["@a˧˥", "@n"], table=inv_path)
+    assert len(ids) == 2
+
+
 def test_reencode_metadata(tmp_path):
     root = str(tmp_path / "tg")
     _corpus(root)
