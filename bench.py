@@ -233,7 +233,8 @@ def _write_bench_corpus(root: str, n_train=288, n_val=8, seed=0):
                    "energy": [-3.0, 3.0, 0.0, 1.0]}, f)
 
 
-def _train_e2e_bench(jax, total=600, measure_from=200):
+def _train_e2e_bench(jax, total=600, measure_from=200,
+                     transfer_dtype="int16"):
     """The real train() driver end-to-end (host data pipeline included);
     steady-state steps/s from the metrics.jsonl wall clock past the
     compile chunk."""
@@ -274,6 +275,7 @@ def _train_e2e_bench(jax, total=600, measure_from=200):
                                 save_step=never),
                 buckets=BucketConfig(src_buckets=(64,), mel_buckets=(500,)),
                 steps_per_call=10,
+                transfer_dtype=transfer_dtype,
             ),
         )
         with contextlib.redirect_stdout(sys.stderr):

@@ -196,31 +196,86 @@ def train(cfg: Config, restore_step: int | None = None,
             yield from train_ds.epoch(ep)
             ep += 1
 
-    for group in _chunks(_batches_forever()):
-        prev_step = step
-        group = group[: max(total - step, 0)]  # don't overshoot total
-        if not group:
-            break
-        # Crossing check, not equality: with steps_per_call > 1 the host
-        # counter advances by the chunk size and can jump past the exact
-        # profile_start_step (same logic as the stop condition below).
-        if prev_step <= cfg.train.profile_start_step < step + len(group):
-            jax.profiler.start_trace(profile_dir)
+    # Mel targets are ~98% of a batch's bytes and H2D bandwidth bounds the
+    # real loop on remote-attached chips (see TrainConfig.transfer_dtype).
+    # "int16": per-utterance affine quantization (4× fewer bytes than f32,
+    # ~2e-4 absolute error on log-mels — tighter than bf16's 0.4% relative
+    # for this data). "bfloat16": plain cast (2×). Dequant/cast happens in
+    # the jitted step.
+    transfer = cfg.train.transfer_dtype
+    if transfer == "bfloat16":
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+
+    def _quantize(b):
+        if transfer == "float32":
+            return
+        m = b["mels"]
+        if transfer == "bfloat16":
+            b["mels"] = m.astype(bf16)
+            return
+        lo = m.min(axis=(1, 2))
+        hi = m.max(axis=(1, 2))
+        scale = np.maximum((hi - lo) / 65535.0, 1e-12).astype(np.float32)
+        q = np.rint((m - lo[:, None, None]) / scale[:, None, None]) - 32768.0
+        b["mels"] = q.astype(np.int16)
+        b["mel_scale"] = scale
+        b["mel_offset"] = (lo + 32768.0 * scale).astype(np.float32)
+
+    def _stage(group):
+        """Quantize + device_put a group; H2D starts now, asynchronously."""
+        for b in group:
+            _quantize(b)
         if len(group) == spc and spc > 1:
             stacked = {k: np.stack([b[k] for b in group])
                        for k in group[0]}
-            stacked = shard_batch_chunk(mesh, stacked)
-            state, report = _dispatch(multi_step, state, stacked)
+            return len(group), "chunk", shard_batch_chunk(mesh, stacked)
+        return len(group), "single", [shard_batch(mesh, b) for b in group]
+
+    def _staged_groups():
+        budget = total - step
+        for group in _chunks(_batches_forever()):
+            if budget <= 0:
+                return
+            group = group[: budget]  # don't overshoot total
+            budget -= len(group)
+            yield _stage(group)
+
+    # Keep prefetch_chunks groups device_put ahead of the running one so
+    # transfer latency/bandwidth overlaps compute (measured on the
+    # tunnel-attached dev chip: 219 ms H2D vs 59 ms compute per chunk).
+    from collections import deque
+
+    queue: deque = deque()
+    stream = _staged_groups()
+    depth = max(0, cfg.train.prefetch_chunks)
+    while True:
+        while len(queue) <= depth:
+            try:
+                queue.append(next(stream))
+            except StopIteration:
+                break
+        if not queue:
+            break
+        n_group, kind, payload = queue.popleft()
+        prev_step = step
+        # Crossing check, not equality: with steps_per_call > 1 the host
+        # counter advances by the chunk size and can jump past the exact
+        # profile_start_step (same logic as the stop condition below).
+        if prev_step <= cfg.train.profile_start_step < step + n_group:
+            jax.profiler.start_trace(profile_dir)
+        if kind == "chunk":
+            state, report = _dispatch(multi_step, state, payload)
         else:
-            for b in group:
-                state, report = _dispatch(train_step, state,
-                                      shard_batch(mesh, b))
+            for b in payload:
+                state, report = _dispatch(train_step, state, b)
         # Track the step count on host: reading ``state.step`` back
         # would sync every iteration and serialize dispatch with the
         # device (async dispatch then overlaps the next batch's H2D
         # transfer with this step's compute).
-        step += len(group)
-        for _ in range(len(group)):
+        step += n_group
+        for _ in range(n_group):
             logger.tick()
         if prev_step < cfg.train.profile_stop_step <= step:
             jax.block_until_ready(report)

@@ -25,6 +25,18 @@ from .state import TrainState
 Batch = dict[str, Any]
 
 
+def _mel_targets(batch: Batch) -> jnp.ndarray:
+    """Recover f32 mel targets from the H2D transfer encoding: int16
+    per-utterance affine quantization (keys mel_scale/mel_offset present),
+    bf16 cast, or plain f32 (TrainConfig.transfer_dtype)."""
+    mels = batch["mels"].astype(jnp.float32)
+    if "mel_scale" in batch:
+        # encode: q = rint((m - lo)/scale) - 32768; offset = lo + 32768*scale
+        mels = mels * batch["mel_scale"][:, None, None] \
+            + batch["mel_offset"][:, None, None]
+    return mels
+
+
 def make_train_step(model: FastSpeech2, tx: optax.GradientTransformation,
                     cfg: Config, donate: bool = True):
     """Returns jitted ``train_step(state, batch) -> (state, LossReport)``.
@@ -37,11 +49,14 @@ def make_train_step(model: FastSpeech2, tx: optax.GradientTransformation,
     e_level = cfg.preprocess.energy.feature
 
     def loss_fn(params, bn_state, batch, rng):
+        # Mel targets may arrive quantized (cfg.train.transfer_dtype shrinks
+        # the dominant H2D transfer); loss math stays f32.
+        mels = _mel_targets(batch)
         out, new_bn = model.apply(
             params, bn_state,
             batch["speakers"], batch["emotions"], batch["arousals"],
             batch["valences"], batch["texts"], batch["src_lens"],
-            max_mel_len=batch["mels"].shape[1],
+            max_mel_len=mels.shape[1],
             mel_lens=batch["mel_lens"],
             p_targets=batch["pitches"],
             e_targets=batch["energies"],
@@ -50,7 +65,7 @@ def make_train_step(model: FastSpeech2, tx: optax.GradientTransformation,
             rng=rng,
         )
         report = fastspeech2_loss(
-            out, batch["mels"], batch["pitches"], batch["energies"],
+            out, mels, batch["pitches"], batch["energies"],
             batch["durations"],
             pitch_feature_level=p_level, energy_feature_level=e_level)
         return report.total, (report, new_bn)
@@ -103,11 +118,12 @@ def make_eval_step(model: FastSpeech2, cfg: Config):
 
     @jax.jit
     def eval_step(params, bn_state, batch) -> LossReport:
+        mels = _mel_targets(batch)  # see TrainConfig.transfer_dtype
         out, _ = model.apply(
             params, bn_state,
             batch["speakers"], batch["emotions"], batch["arousals"],
             batch["valences"], batch["texts"], batch["src_lens"],
-            max_mel_len=batch["mels"].shape[1],
+            max_mel_len=mels.shape[1],
             mel_lens=batch["mel_lens"],
             p_targets=batch["pitches"],
             e_targets=batch["energies"],
@@ -115,7 +131,7 @@ def make_eval_step(model: FastSpeech2, cfg: Config):
             deterministic=True,
         )
         return fastspeech2_loss(
-            out, batch["mels"], batch["pitches"], batch["energies"],
+            out, mels, batch["pitches"], batch["energies"],
             batch["durations"],
             pitch_feature_level=p_level, energy_feature_level=e_level)
 

@@ -224,3 +224,50 @@ def test_multi_step_matches_sequential_steps():
 
     m_seq, m_multi = movement(st.params), movement(st_m.params)
     assert abs(m_seq - m_multi) < 0.05 * m_seq
+
+
+def test_mel_transfer_quantization_is_negligible():
+    """TrainConfig.transfer_dtype ships mel targets quantized over H2D (the
+    dominant transfer; dequantized to f32 in the step). The only numerics
+    change is quantization of the regression target; the loss delta must be
+    far below the loss scale for both encodings, and int16's absolute
+    reconstruction error must beat bf16's on log-mel data."""
+    import ml_dtypes
+
+    cfg = _tiny_config()
+    model = FastSpeech2(cfg.model, cfg.preprocess)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.train.optimizer,
+                        cfg.model.transformer.encoder_hidden)
+
+    batch = _synthetic_batch(np.random.default_rng(3))
+    qbf16 = dict(batch)
+    qbf16["mels"] = batch["mels"].astype(ml_dtypes.bfloat16)
+    # int16 per-utterance affine encoding (mirrors train/loop.py:_quantize).
+    m = batch["mels"]
+    lo, hi = m.min(axis=(1, 2)), m.max(axis=(1, 2))
+    scale = np.maximum((hi - lo) / 65535.0, 1e-12).astype(np.float32)
+    qi16 = dict(batch)
+    qi16["mels"] = (np.rint((m - lo[:, None, None]) / scale[:, None, None])
+                    - 32768.0).astype(np.int16)
+    qi16["mel_scale"] = scale
+    qi16["mel_offset"] = (lo + 32768.0 * scale).astype(np.float32)
+
+    # Reconstruction error: int16 must beat bf16 on this data.
+    rec_i16 = (qi16["mels"].astype(np.float32) * scale[:, None, None]
+               + qi16["mel_offset"][:, None, None])
+    err_i16 = np.abs(rec_i16 - m).max()
+    err_bf16 = np.abs(np.asarray(qbf16["mels"], np.float32) - m).max()
+    assert err_i16 < err_bf16, (err_i16, err_bf16)
+    assert err_i16 < 2e-4
+
+    step_fn = make_train_step(model, tx, cfg, donate=False)
+    reps = {}
+    for name, b in (("f32", batch), ("bf16", qbf16), ("i16", qi16)):
+        state = create_train_state(params, bn_state, tx,
+                                   jax.random.PRNGKey(1))
+        _, rep = step_fn(state, b)
+        reps[name] = float(rep.total)
+    assert np.isfinite(list(reps.values())).all()
+    for name in ("bf16", "i16"):
+        assert abs(reps["f32"] - reps[name]) < 2e-3 * abs(reps["f32"]), reps
