@@ -60,6 +60,10 @@ def harvest_phones(root: str) -> Counter:
             mark = iv.text.strip()
             if mark:
                 counts[mark] += 1
+            else:
+                # Gap intervals reencode as "sp" (textgrid_phones); the
+                # inventory must cover them.
+                counts["sp"] += 1
     return counts
 
 
@@ -79,13 +83,28 @@ def write_inventory(counts: Counter, path: str, name: str = "harvested",
 
 
 def textgrid_phones(path: str) -> list[str] | None:
-    """Phone marks of one TextGrid (silences dropped, matching the
-    preprocessor's alignment semantics)."""
+    """Phone marks of one TextGrid, with the preprocessor's alignment trim
+    replicated exactly (preprocess/preprocessor.py:get_alignment): leading
+    and trailing silences dropped, interior silences kept, empty gap marks
+    normalized to ``sp`` — so reencoded phones stay 1:1 with the stored
+    duration arrays."""
     tg = read_textgrid(path)
     tier = _phone_tier(tg)
     if tier is None:
         return None
-    return [iv.text.strip() for iv in tier.intervals if iv.text.strip()]
+    silences = ("sil", "sp", "spn")
+    phones: list[str] = []
+    end_idx = 0
+    for iv in tier.intervals:
+        p = iv.text.strip()
+        if not phones and (p in silences or p == ""):
+            continue
+        if p in silences or p == "":
+            phones.append(p or "sp")
+        else:
+            phones.append(p)
+            end_idx = len(phones)
+    return phones[:end_idx]
 
 
 def reencode_metadata(meta_in: str, tg_root: str, meta_out: str,

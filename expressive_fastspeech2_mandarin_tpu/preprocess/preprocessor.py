@@ -61,7 +61,14 @@ class AlignmentResult:
 
 def get_alignment(tier: Tier, sampling_rate: int, hop_length: int
                   ) -> AlignmentResult:
-    """Reference: preprocessor/preprocessor.py:327-365."""
+    """Reference: preprocessor/preprocessor.py:327-365.
+
+    Beyond-reference hygiene: TextGrid gap intervals carry an EMPTY mark
+    (MFA and the native aligner both emit them), which the reference
+    classifies as a regular phone — a trailing ``sil + ""`` pair then
+    defeats its tail trim and ships an empty-string "phone" whose duration
+    misaligns the ids/durations streams at encode time. Here ``""`` is
+    classified as silence and normalized to ``sp``."""
     phones: list[str] = []
     durations: list[int] = []
     start_time = 0.0
@@ -73,12 +80,12 @@ def get_alignment(tier: Tier, sampling_rate: int, hop_length: int
             if p in SILENCE_PHONES or p == "":
                 continue
             start_time = s
-        if p not in SILENCE_PHONES:
+        if p not in SILENCE_PHONES and p != "":
             phones.append(p)
             end_time = e
             end_idx = len(phones)
         else:
-            phones.append(p)
+            phones.append(p or "sp")
         durations.append(int(
             np.round(e * sampling_rate / hop_length)
             - np.round(s * sampling_rate / hop_length)))

@@ -94,7 +94,36 @@ def test_reencode_metadata(tmp_path):
     written, dropped = reencode_metadata(meta_in, root, meta_out)
     assert (written, dropped) == (2, 1)
     lines = open(meta_out).read().splitlines()
-    assert lines[0].split("|")[2] == "{@tɕ˥˩ @a˧˥ @n}"
+    # Interior gap interval reencodes as @sp so the phone stream stays 1:1
+    # with the stored duration array (preprocessor get_alignment semantics).
+    assert lines[0].split("|")[2] == "{@tɕ˥˩ @a˧˥ @sp @n}"
     assert lines[1].split("|")[0] == "c"
     # All other fields preserved.
     assert lines[0].split("|")[6:] == ["Happy", "0.7", "0.8"]
+
+
+def test_get_alignment_gap_marks(tmp_path):
+    """Empty-mark gap intervals (MFA + native-aligner TextGrids) must be
+    classified as silence: a trailing ``sil + ""`` pair is trimmed, an
+    interior gap becomes an ``sp`` with its duration — so phones and
+    durations stay 1:1 (the reference keeps "" as a phone, which defeats
+    its tail trim; see preprocessor.get_alignment docstring)."""
+    from expressive_fastspeech2_mandarin_tpu.preprocess.ipa_harvest import (
+        textgrid_phones,
+    )
+    from expressive_fastspeech2_mandarin_tpu.preprocess.preprocessor import (
+        get_alignment,
+    )
+
+    path = str(tmp_path / "g.TextGrid")
+    _make_tg(path, ["sil", "b", "", "a", "sil", ""])
+    tg_phones = textgrid_phones(path)
+    from expressive_fastspeech2_mandarin_tpu.preprocess.textgrid import (
+        read_textgrid,
+    )
+
+    tier = read_textgrid(path).get_tier_by_name("phones")
+    align = get_alignment(tier, sampling_rate=16000, hop_length=200)
+    assert align.phones == ["b", "sp", "a"]
+    assert len(align.durations) == 3
+    assert tg_phones == align.phones  # reencode stays 1:1 with durations
