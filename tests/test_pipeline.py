@@ -207,6 +207,56 @@ def test_validate_synth_and_resample(tmp_path):
     assert any("duration" in w for w in by_name["short.wav"]["warnings"])
 
     # Resample tree 22050 -> 16000 into a new dir via the CLI.
+    _run_resample_cli(res, tmp_path, load_wav)
+
+
+def test_validate_synth_negative_controls(tmp_path):
+    """VERDICT r3 item 3: a near-silent or white-noise prediction must FAIL
+    the synth health check.  The round-3 convergence report's pred.wav (27x
+    quieter than GT) sailed through the absolute checks; these relative
+    checks (RMS ratio vs in-dir GT, silence fraction, spectral flatness)
+    are the teeth.  Reference intent: diagnose_synthesis.py:12-60."""
+    from expressive_fastspeech2_mandarin_tpu.cli.validate import (
+        validate_synth,
+    )
+    from expressive_fastspeech2_mandarin_tpu.utils.wav import save_wav
+
+    res = tmp_path / "result"
+    os.makedirs(res)
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+    # Speech-like GT: harmonic stack with F0 vibrato and a syllabic
+    # amplitude envelope (periodic, non-flat spectrum).
+    f0 = 180 * (1 + 0.03 * np.sin(2 * np.pi * 4 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    gt = sum(np.sin(k * phase) / k for k in range(1, 8))
+    gt *= 0.4 * (0.55 + 0.45 * np.sin(2 * np.pi * 2.5 * t)) / np.abs(gt).max()
+    gt = gt.astype(np.float32)
+    rng = np.random.default_rng(0)
+    save_wav(str(res / "gt_reconstruction.wav"), gt, sr)
+    save_wav(str(res / "pred_good.wav"), gt * 0.8, sr)
+    # The convergence-report failure mode: audible peak, but ~27x quieter
+    # than the ground truth.
+    save_wav(str(res / "pred_quiet.wav"), gt * 0.037, sr)
+    # White noise at the GT's RMS: passes every absolute check.
+    noise = rng.normal(0, float(np.sqrt(np.mean(gt ** 2))), gt.size)
+    save_wav(str(res / "pred_noise.wav"), noise.astype(np.float32), sr)
+
+    out = validate_synth(str(res))
+    assert not out["ok"]
+    assert out["reference_files"] == ["gt_reconstruction.wav"]
+    by_name = {e["file"]: e for e in out["files"]}
+    assert by_name["gt_reconstruction.wav"]["warnings"] == []
+    assert by_name["pred_good.wav"]["warnings"] == []
+    assert any("RMS ratio" in w
+               for w in by_name["pred_quiet.wav"]["warnings"])
+    assert any("flatness" in w for w in by_name["pred_noise.wav"]["warnings"])
+
+
+def _run_resample_cli(res, tmp_path, load_wav):
+    import subprocess
+    import sys
+
     out_dir = tmp_path / "resampled"
     subprocess.run(
         [sys.executable, "-m",
