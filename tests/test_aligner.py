@@ -278,3 +278,45 @@ def test_lda_stage(tmp_path):
                         model_path=model_path, threads=2)
     assert "loaded LDA projection (40 dims)" in log2
     assert "aligned 30 utterances" in log2
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_tri_auto_selection(tmp_path):
+    """VERDICT r3 item 4: the default ``triphone="auto"`` must pick the
+    stage from per-state data volume — monophone below the calibrated band
+    (tiny corpora, where ALIGN_BENCH measured tri to lose), triphone inside
+    it.  The band itself is calibrated in native/aligner/align_main.cc."""
+    from expressive_fastspeech2_mandarin_tpu.align import (
+        align_corpus,
+        ensure_built,
+    )
+
+    ensure_built()
+    rng = np.random.default_rng(7)
+
+    def build(n_utts, name):
+        corpus = tmp_path / name / "0001"
+        os.makedirs(corpus)
+        for i in range(n_utts):
+            phones = ["b", "a", "n", "h", "ao"]
+            durs = rng.uniform(0.08, 0.2, len(phones))
+            save_wav(str(corpus / f"u{i:04d}.wav"),
+                     _render(rng, phones, durs), SR)
+            with open(corpus / f"u{i:04d}.lab", "w") as f:
+                f.write("ban hao\n")
+        return str(tmp_path / name)
+
+    # 4 utterances: ~19 frames/state median — below the band → monophone.
+    log = align_corpus(build(4, "small"), str(tmp_path / "tg_small"),
+                       iters=4, threads=2)
+    assert "-> monophone" in log, log
+    assert "tied states" not in log
+
+    # 16 utterances: ~75 frames/state — inside the band → triphone.
+    log2 = align_corpus(build(16, "mid"), str(tmp_path / "tg_mid"),
+                        iters=4, threads=2)
+    assert "-> triphone" in log2, log2
+    assert "triphone tree" in log2
+    # Both decisions produce TextGrids for every utterance.
+    assert len(os.listdir(tmp_path / "tg_small" / "0001")) == 4
+    assert len(os.listdir(tmp_path / "tg_mid" / "0001")) == 16
