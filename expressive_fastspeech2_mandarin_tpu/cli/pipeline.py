@@ -19,6 +19,11 @@ def main() -> None:
     add_config_args(ap)
     ap.add_argument("--esd-root", default=None,
                     help="raw ESD dataset (skip if raw_path already prepared)")
+    ap.add_argument("--corpus-root", default=None,
+                    help="raw corpus release for stage-1 prep; the prep "
+                         "module is picked from the dataset name (IEMOCAP / "
+                         "AIHub-MMV / ESD*). Defaults to "
+                         "cfg.path.corpus_path when that directory exists")
     ap.add_argument("--total_steps", type=int, default=None)
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--align-iters", type=int, default=8)
@@ -30,16 +35,43 @@ def main() -> None:
 
     cfg = config_from_args(args)
     raw = cfg.preprocess.path.raw_path
+    # Speaker dirs live under raw/<sub_dir_name> (e.g. IEMOCAP "sessions",
+    # AIHub "clips"; ESD uses "" = raw itself) — both the aligner and the
+    # feature extractor walk that level.
+    align_root = os.path.join(raw, cfg.preprocess.path.sub_dir_name)
     pre = cfg.preprocess.path.preprocessed_path
     tg_dir = os.path.join(pre, "TextGrid")
 
-    # Stage 1: corpus prep.
-    if args.esd_root and not os.path.exists(os.path.join(raw, "filelist.txt")):
-        from ..preprocess import prepare_esd
+    # Stage 1: corpus prep — dispatched on the dataset name (reference:
+    # prepare_align imports preprocessor.<dataset> by config,
+    # prepare_data.py / preprocessor/{esd_chinese,iemocap,aihub_mmv}.py).
+    corpus_root = args.corpus_root or args.esd_root
+    if corpus_root is None and os.path.isdir(cfg.preprocess.path.corpus_path):
+        corpus_root = cfg.preprocess.path.corpus_path
+    if corpus_root and not os.path.exists(os.path.join(raw, "filelist.txt")):
+        sr = cfg.preprocess.audio.sampling_rate
+        name = cfg.preprocess.dataset.lower()
+        print(f"[1/4] preparing corpus ({cfg.preprocess.dataset}) ...")
+        if "iemocap" in name:
+            from ..preprocess import prepare_iemocap
 
-        print("[1/4] preparing ESD corpus ...")
-        prepare_esd(args.esd_root, raw,
-                    sampling_rate=cfg.preprocess.audio.sampling_rate)
+            prepare_iemocap(
+                corpus_root, raw, sampling_rate=sr,
+                sub_dir_name=cfg.preprocess.path.sub_dir_name or "sessions",
+                fixed_text_path=cfg.preprocess.path.fixed_text_path or None,
+                cleaners=cfg.preprocess.text_cleaners)
+        elif "aihub" in name:
+            from ..preprocess import prepare_aihub_mmv
+
+            prepare_aihub_mmv(
+                corpus_root, raw, sampling_rate=sr,
+                sub_dir_name=cfg.preprocess.path.sub_dir_name or "clips",
+                fixed_text_path=cfg.preprocess.path.fixed_text_path or None,
+                cleaners=cfg.preprocess.text_cleaners)
+        else:
+            from ..preprocess import prepare_esd
+
+            prepare_esd(corpus_root, raw, sampling_rate=sr)
     else:
         print("[1/4] corpus prep: skipped (already prepared)")
 
@@ -52,7 +84,7 @@ def main() -> None:
                 cfg.preprocess.path.lexicon_path):
             lexicon = cfg.preprocess.path.lexicon_path
         print("[2/4] forced alignment (native aligner) ...")
-        log = align_corpus(raw, tg_dir,
+        log = align_corpus(align_root, tg_dir,
                            model_path=os.path.join(pre, "acoustic_model.bin"),
                            iters=args.align_iters, lexicon=lexicon)
         print(log.strip().splitlines()[-1])

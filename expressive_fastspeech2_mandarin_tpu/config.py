@@ -51,6 +51,9 @@ class PathConfig:
     raw_path: str = ""
     preprocessed_path: str = ""
     sub_dir_name: str = ""
+    # Transcript-override file for corpora with known-bad transcripts
+    # (reference: IEMOCAP/AIHub preprocess.yaml "fixed_text_path").
+    fixed_text_path: str = ""
     ckpt_path: str = ""
     log_path: str = ""
     result_path: str = ""
@@ -260,6 +263,7 @@ def preprocess_config_from_dict(d: dict[str, Any]) -> PreprocessConfig:
             raw_path=_get(d, "path", "raw_path", default=""),
             preprocessed_path=_get(d, "path", "preprocessed_path", default=""),
             sub_dir_name=_get(d, "path", "sub_dir_name", default=""),
+            fixed_text_path=_get(d, "path", "fixed_text_path", default=""),
         ),
         val_size=_get(p, "val_size", default=512),
         text_cleaners=tuple(_get(p, "text", "text_cleaners", default=["basic_cleaners"])),

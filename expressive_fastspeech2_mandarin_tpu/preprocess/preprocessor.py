@@ -159,12 +159,22 @@ class Preprocessor:
                 for line in f:
                     parts = line.strip().split("|")
                     if len(parts) >= 8:
+                        # ESD 8-field variant: base|text|spk|dataset|default|
+                        # emotion|arousal|valence (esd_chinese.py:240-249).
                         base, text, spk = parts[0], parts[1], parts[2]
                         emotion, arousal, valence = parts[5], parts[6], parts[7]
-                        filelist[base] = f"{spk}|{text}|{emotion}|{arousal}|{valence}"
-                        emotions.add(emotion)
-                        arousals.add(arousal)
-                        valences.add(valence)
+                    elif len(parts) == 6:
+                        # EN/IEMOCAP 6-field variant: base|text|spk|emotion|
+                        # arousal|valence (reference iemocap.py:116,
+                        # preprocessor_en.py filelist parsing).
+                        base, text, spk = parts[0], parts[1], parts[2]
+                        emotion, arousal, valence = parts[3], parts[4], parts[5]
+                    else:
+                        continue
+                    filelist[base] = f"{spk}|{text}|{emotion}|{arousal}|{valence}"
+                    emotions.add(emotion)
+                    arousals.add(arousal)
+                    valences.add(valence)
         emo_maps = {
             "emotion_dict": {e: i for i, e in enumerate(sorted(emotions))},
             "arousal_dict": {a: i for i, a in enumerate(sorted(arousals))},

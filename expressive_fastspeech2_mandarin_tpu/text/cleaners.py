@@ -76,11 +76,21 @@ def chinese_cleaners(text: str) -> str:
     return collapse_whitespace(text)
 
 
+def korean_cleaners(text: str) -> str:
+    """Korean pipeline: Hangul normalization (number/abbreviation expansion
+    via the jamo rule engine) + whitespace collapse
+    (reference: text/cleaners.py:93-98)."""
+    from .korean import normalize
+
+    return collapse_whitespace(normalize(text))
+
+
 _CLEANERS = {
     "basic_cleaners": basic_cleaners,
     "transliteration_cleaners": transliteration_cleaners,
     "english_cleaners": english_cleaners,
     "chinese_cleaners": chinese_cleaners,
+    "korean_cleaners": korean_cleaners,
 }
 
 
