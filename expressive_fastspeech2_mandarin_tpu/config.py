@@ -212,6 +212,12 @@ class TrainConfig:
     # "default" keeps TPU bf16 matmuls (fast path); "highest" forces f32
     # accumulation everywhere — use for numeric-parity runs.
     matmul_precision: str = "default"
+    # Mixed-precision training: "bfloat16" runs the forward/backward in
+    # bf16 activations (f32 master params + Adam state; attention and
+    # layer-norm statistics still accumulate in f32) — the HBM-bandwidth
+    # lever once batch scaling saturates (PERF.md "Tuned recipe").
+    # "float32" (default) keeps the reference-parity numerics.
+    amp_dtype: str = "float32"
     # Optimizer steps executed on-device per host dispatch (lax.scan chunk).
     # >1 amortizes host→device round-trip latency; consecutive same-bucket
     # batches are stacked, so log/val/save cadences quantize to the chunk.
@@ -367,6 +373,7 @@ def train_config_from_dict(d: dict[str, Any], **overrides) -> TrainConfig:
         steps_per_call=d.get("steps_per_call", 1),
         matmul_precision=d.get("matmul_precision", "default"),
         transfer_dtype=d.get("transfer_dtype", "int16"),
+        amp_dtype=d.get("amp_dtype", "float32"),
         prefetch_chunks=d.get("prefetch_chunks", 2),
     )
     kwargs.update(overrides)

@@ -153,6 +153,10 @@ class FastSpeech2:
 
         # Positional tables: regenerate longer tables at trace time for
         # sequences past max_seq_len (reference: Models.py:82-87,145-151).
+        # Tables follow the parameter dtype so the bf16 mixed-precision
+        # path (params cast in the train step) stays bf16 end-to-end —
+        # a f32 table would silently re-promote every activation.
+        compute_dtype = params["encoder"]["embed"].dtype
         enc_pos = self.consts["enc_pos"]
         if max_src_len > cfg.max_seq_len:
             enc_pos = jnp.asarray(sinusoid_encoding_table(
@@ -161,6 +165,8 @@ class FastSpeech2:
         if max_mel_len > cfg.max_seq_len:
             dec_pos = jnp.asarray(sinusoid_encoding_table(
                 max_mel_len, cfg.transformer.decoder_hidden))
+        enc_pos = enc_pos.astype(compute_dtype)
+        dec_pos = dec_pos.astype(compute_dtype)
 
         x = apply_encoder(
             params["encoder"], texts, src_masks, enc_pos, cfg.transformer,

@@ -123,10 +123,16 @@ def layer_norm(
     beta: jnp.ndarray,
     eps: float = 1e-5,
 ) -> jnp.ndarray:
-    """LayerNorm over the last axis (torch nn.LayerNorm semantics)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps) * gamma + beta
+    """LayerNorm over the last axis (torch nn.LayerNorm semantics).
+
+    Statistics accumulate in f32 regardless of the activation dtype so the
+    bf16 mixed-precision path (TrainConfig.amp_dtype) keeps full-precision
+    normalization; the result returns in x's dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return (((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+            * gamma + beta)
 
 
 def batch_norm_inference(
@@ -160,11 +166,16 @@ def batch_norm_train(
     *new* observation.
     """
     axes = tuple(range(x.ndim - 1))
-    mean = jnp.mean(x, axis=axes)
-    var = jnp.mean(jnp.square(x - mean), axis=axes)  # biased
+    # Batch statistics in f32 (bf16 means over B*T elements drift; the
+    # running state stays f32 so the train-state pytree keeps its dtypes
+    # under the amp path).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes)  # biased
     n = x.size // x.shape[-1]
     unbiased = var * (n / max(n - 1, 1))
-    out = (x - mean) * lax.rsqrt(var + eps) * gamma + beta
+    out = (((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+           * gamma + beta)
     new_mean = (1 - momentum) * running_mean + momentum * mean
     new_var = (1 - momentum) * running_var + momentum * unbiased
     return out, new_mean, new_var

@@ -47,8 +47,17 @@ def make_train_step(model: FastSpeech2, tx: optax.GradientTransformation,
     """
     p_level = cfg.preprocess.pitch.feature
     e_level = cfg.preprocess.energy.feature
+    amp = jnp.dtype(cfg.train.amp_dtype)
 
     def loss_fn(params, bn_state, batch, rng):
+        # Mixed precision (TrainConfig.amp_dtype): master params stay f32 in
+        # the state; the forward/backward runs on a bf16 cast (the cast's
+        # transpose accumulates grads back to f32). Positional tables follow
+        # the param dtype inside apply; attention/LN/BN statistics stay f32.
+        if amp != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(amp)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
         # Mel targets may arrive quantized (cfg.train.transfer_dtype shrinks
         # the dominant H2D transfer); loss math stays f32.
         mels = _mel_targets(batch)

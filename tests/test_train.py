@@ -271,3 +271,93 @@ def test_mel_transfer_quantization_is_negligible():
     assert np.isfinite(list(reps.values())).all()
     for name in ("bf16", "i16"):
         assert abs(reps["f32"] - reps[name]) < 2e-3 * abs(reps["f32"]), reps
+
+
+def test_amp_bf16_loss_parity():
+    """Mixed-precision training (TrainConfig.amp_dtype="bfloat16") must
+    track the f32 loss trajectory: same data, same init, 25 steps — final
+    losses within a few percent and both converging.  This is the
+    loss-parity gate for the tuned recipe (VERDICT r3 item 2)."""
+    from dataclasses import replace
+
+    cfg = _tiny_config()
+    cfg_amp = replace(cfg, train=replace(cfg.train, amp_dtype="bfloat16"))
+    batch = _synthetic_batch(np.random.default_rng(3))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def run(c):
+        model = FastSpeech2(c.model, c.preprocess)
+        params, bn_state = model.init(jax.random.PRNGKey(0))
+        tx = make_optimizer(c.train.optimizer,
+                            c.model.transformer.encoder_hidden)
+        state = create_train_state(params, bn_state, tx, jax.random.PRNGKey(1))
+        fn = make_train_step(model, tx, c, donate=False)
+        losses = []
+        for _ in range(25):
+            state, rep = fn(state, batch)
+            losses.append(float(rep.total))
+        return losses
+
+    f32, bf16 = run(cfg), run(cfg_amp)
+    assert np.isfinite(bf16).all()
+    assert bf16[-1] < bf16[0] * 0.9, bf16[:3] + bf16[-3:]
+    # Trajectory parity: few-% agreement at start and end.
+    assert abs(bf16[0] - f32[0]) < 0.05 * abs(f32[0]), (f32[0], bf16[0])
+    assert abs(bf16[-1] - f32[-1]) < 0.08 * abs(f32[-1]), (f32[-1], bf16[-1])
+
+
+def test_grad_accum_b4_equivalence():
+    """batch 16 in one step == 4 accumulated microbatches of 4 (optax
+    MultiSteps, grad_acc_step=4) on the same samples — the B=16 tuned
+    recipe's equivalence check (VERDICT r3 item 2).  Exact equality holds
+    when every sample has the same valid-token count (masked means then
+    weigh microbatches equally)."""
+    from dataclasses import replace
+
+    cfg = _tiny_config()
+    rng = np.random.default_rng(5)
+    big = _synthetic_batch(rng, b=16)
+    # Equal-length samples: full src length, identical durations per row.
+    big["src_lens"][:] = big["texts"].shape[1]
+    big["durations"][:] = big["durations"][0]
+    big["mel_lens"][:] = big["durations"].sum(1)
+
+    model = FastSpeech2(cfg.model, cfg.preprocess)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+
+    tx16 = make_optimizer(cfg.train.optimizer,
+                          cfg.model.transformer.encoder_hidden)
+    s16 = create_train_state(params, bn_state, tx16, jax.random.PRNGKey(1))
+    fn16 = make_train_step(model, tx16, cfg, donate=False)
+    # Dropout must be off for exactness: deterministic grads only differ by
+    # batch split. _tiny_config keeps reference dropout; zero it instead.
+    det_model_cfg = replace(
+        cfg.model, transformer=replace(cfg.model.transformer,
+                                       encoder_dropout=0.0,
+                                       decoder_dropout=0.0),
+        variance_predictor=replace(cfg.model.variance_predictor, dropout=0.0))
+    det_cfg = replace(cfg, model=det_model_cfg)
+    model = FastSpeech2(det_cfg.model, det_cfg.preprocess)
+    fn16 = make_train_step(model, tx16, det_cfg, donate=False)
+    s16_out, _ = fn16(s16, {k: jnp.asarray(v) for k, v in big.items()})
+
+    acc_opt = replace(det_cfg.train.optimizer, grad_acc_step=4)
+    tx4 = make_optimizer(acc_opt, det_cfg.model.transformer.encoder_hidden)
+    s4 = create_train_state(params, bn_state, tx4, jax.random.PRNGKey(1))
+    acc_cfg = replace(det_cfg, train=replace(det_cfg.train,
+                                             optimizer=acc_opt))
+    fn4 = make_train_step(model, tx4, acc_cfg, donate=False)
+    for i in range(4):
+        micro = {k: jnp.asarray(v[i * 4:(i + 1) * 4]) for k, v in big.items()}
+        s4, _ = fn4(s4, micro)
+
+    # Dropout off but PostNet's fixed 0.5 dropout still runs under
+    # deterministic=False... it uses the step rng which differs per call, so
+    # compare parameter MOVEMENT rather than bitwise equality.
+    def delta(p):
+        sq = jax.tree.map(lambda a, z: jnp.sum((a - z) ** 2), p, params)
+        return float(jnp.sqrt(sum(jax.tree.leaves(sq))))
+
+    d16, d4 = delta(s16_out.params), delta(s4.params)
+    assert d16 > 0 and d4 > 0
+    assert abs(d16 - d4) < 0.15 * d16, (d16, d4)
