@@ -2,6 +2,8 @@
 must match the single-device step numerically (global masked-mean losses,
 replicated params, all-reduced grads)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -86,3 +88,20 @@ def test_dp_matches_single_device():
                     jax.tree_util.tree_leaves(g8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_flagship_shapes():
+    """VERDICT r3 item 7: the dp+tp equality checks at the REFERENCE
+    dimensions (4/6-layer 256-hidden model, 4-stage 512-channel HiFi-GAN)
+    on the 8-device CPU mesh — a shape-dependent sharding bug passes the
+    toy-shape dryrun and fails here.  Slow (~minutes); the committed run
+    lives in reports/dryrun_flagship.txt.  Run: pytest -m slow."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(repo, "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8, flagship=True)
