@@ -188,9 +188,11 @@ def test_triphone_tree_splits_on_context(tmp_path):
         truth[base] = bounds
 
     model_path = str(tmp_path / "am.bin")
+    # triphone=True forces the tree stage (the "auto" default would pick
+    # monophone here — this corpus is data-rich per state by design).
     log = align_corpus(
         str(tmp_path / "corpus"), str(tmp_path / "tg"),
-        model_path=model_path, iters=6, threads=2,
+        model_path=model_path, iters=6, threads=2, triphone=True,
         extra_args=["--tri-min-count", "30", "--tri-min-gain", "50"])
     m = re.search(r"triphone tree: (\d+) tied states from (\d+) roots", log)
     assert m, log
