@@ -40,8 +40,8 @@ def _cost_flops(compiled) -> float | None:
 
 
 def _train_bench(jax, steps=30, b=4, s=64, t=500, steps_per_call=10,
-                 measure_single=True):
-    from expressive_fastspeech2_mandarin_tpu.config import Config
+                 measure_single=True, amp="float32"):
+    from expressive_fastspeech2_mandarin_tpu.config import Config, TrainConfig
     from expressive_fastspeech2_mandarin_tpu.models import FastSpeech2
     from expressive_fastspeech2_mandarin_tpu.train import (
         create_train_state,
@@ -50,7 +50,7 @@ def _train_bench(jax, steps=30, b=4, s=64, t=500, steps_per_call=10,
         make_train_step,
     )
 
-    cfg = Config()
+    cfg = Config(train=TrainConfig(amp_dtype=amp))
     model = FastSpeech2(cfg.model, cfg.preprocess)
     params, bn_state = model.init(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg.train.optimizer, cfg.model.transformer.encoder_hidden)
@@ -334,10 +334,11 @@ def main():
         pass
     backend = jax.default_backend()
     train_steps_per_s, single_steps_per_s, train_mfu, burst = _train_bench(jax)
-    # Tuned recipe (train_b16.yaml shapes): 4x batch at the same sequence
-    # lengths — the measured ~2.2x step-time for 4x samples (PERF.md).
+    # Tuned recipe (train_tuned.yaml shapes): batch 32 + bf16 amp — the
+    # best of the round-4 {16,32,64}×{f32,bf16} sweep (PERF.md "Tuned
+    # recipe"); samples/s saturates ~1050 past B=32.
     tuned_steps_per_s, _, tuned_mfu, _ = _train_bench(
-        jax, steps=20, b=16, measure_single=False)
+        jax, steps=20, b=32, measure_single=False, amp="bfloat16")
     audio_s_per_s, rtf, gen_dt, synth_mfu = _synth_bench(jax)
     e2e = _train_e2e_bench(jax)
     # Compute-only reference in the SAME tunnel phase as the e2e windows.
@@ -352,9 +353,10 @@ def main():
             "train_steps_per_s_single_dispatch": round(single_steps_per_s, 2),
             "train_steps_per_s_e2e": e2e,
             "train_e2e_compute_ref": round(compute_ref, 2),
-            "train_samples_per_s_tuned_b16": round(tuned_steps_per_s * 16, 1),
-            "train_mfu_tuned_b16": (round(tuned_mfu, 4) if tuned_mfu
-                                    else None),
+            "train_samples_per_s_tuned": round(tuned_steps_per_s * 32, 1),
+            "train_mfu_tuned": (round(tuned_mfu, 4) if tuned_mfu
+                                else None),
+            "tuned_config": "batch 32, bf16 amp, steps_per_call 10",
             "train_mfu": (round(train_mfu, 4) if train_mfu else None),
             "synth_audio_seconds_per_s_per_chip": round(audio_s_per_s, 1),
             "synth_rtf": round(rtf, 5),

@@ -1,0 +1,54 @@
+"""HiFi-GAN vocoder training CLI.
+
+The reference ships the training hyperparameters (hifigan/config.json) but
+no trainer and no weights (utils/model.py:63-65 expects an absent git-LFS
+checkpoint); ``efs2-train-vocoder`` trains the universal generator from a
+wav corpus so synthesis has a neural vocoder without external artifacts.
+
+Output layout under --out: ``ckpt/`` (Orbax, resumable), ``metrics.jsonl``,
+``generator.npz`` (folded kernels — pass as ``--vocoder_ckpt`` to
+efs2-synthesize or set model.yaml ``vocoder.ckpt_path``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from .common import add_config_args, config_from_args
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="efs2-train-vocoder")
+    add_config_args(ap)
+    ap.add_argument("--wav_dir", default=None,
+                    help="wav corpus root (default: preprocess raw_path)")
+    ap.add_argument("--out", default=None,
+                    help="output dir (default: <ckpt_path>/../vocoder)")
+    ap.add_argument("--total_steps", type=int, default=None,
+                    help="override vocoder_train.total_step")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="cap the number of wavs loaded (smoke runs)")
+    args = ap.parse_args()
+
+    cfg = config_from_args(args)
+    wav_dir = args.wav_dir or cfg.preprocess.path.raw_path
+    if not wav_dir or not os.path.isdir(wav_dir):
+        ap.error(f"--wav_dir not found: {wav_dir!r}")
+    out = args.out or os.path.join(
+        os.path.dirname(cfg.train.path.ckpt_path or "output/ckpt"),
+        "vocoder")
+
+    from ..train.vocoder import load_corpus_wavs, train_vocoder
+
+    wavs = load_corpus_wavs(wav_dir, cfg.preprocess.audio.sampling_rate,
+                            limit=args.limit)
+    print(f"vocoder training: {len(wavs)} utterances "
+          f"({sum(len(w) for w in wavs) / cfg.preprocess.audio.sampling_rate:.1f} s), "
+          f"batch {cfg.vocoder_train.batch_size} × "
+          f"{cfg.vocoder_train.segment_size} samples → {out}")
+    train_vocoder(cfg, wavs, out, total_steps=args.total_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -241,10 +241,48 @@ class TrainConfig:
 
 
 @dataclass(frozen=True)
+class VocoderTrainConfig:
+    """HiFi-GAN generator training (GAN recipe).
+
+    Defaults mirror the training hyperparameters the reference ships but
+    never uses (hifigan/config.json: batch 16, lr 2e-4, Adam(0.8, 0.99),
+    lr_decay 0.999/epoch, segment 8192) — the reference has no vocoder
+    training code and its universal checkpoint is an absent git-LFS
+    pointer, so this subsystem is what makes neural vocoding actually
+    reachable from a fresh corpus.
+    """
+
+    batch_size: int = 16
+    segment_size: int = 8192  # samples; must be a multiple of hop·prod(ups)
+    learning_rate: float = 2e-4
+    adam_betas: tuple[float, float] = (0.8, 0.99)
+    weight_decay: float = 0.01  # torch AdamW default, per the recipe
+    lr_decay: float = 0.999
+    # The torch recipe decays per epoch; step-based equivalent (one "epoch"
+    # of the ESD corpus at batch 16 ≈ 1000 steps).
+    lr_decay_steps: int = 1000
+    mel_loss_weight: float = 45.0
+    # Loss mel uses the full band (hifigan/config.json fmax_for_loss: null);
+    # the generator *input* mel keeps the acoustic-model band (fmax 8000).
+    # Discriminator ensemble (HiFi-GAN V1 defaults; shrink for ablations).
+    mpd_periods: tuple[int, ...] = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
+    seed: int = 1234
+    amp_dtype: str = "float32"  # "bfloat16": bf16 convs, f32 losses/masters
+    steps_per_call: int = 1  # optimizer steps per host dispatch (lax.scan)
+    total_step: int = 400000
+    log_step: int = 100
+    save_step: int = 10000
+    val_step: int = 5000
+
+
+@dataclass(frozen=True)
 class Config:
     preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
+    vocoder_train: VocoderTrainConfig = field(
+        default_factory=VocoderTrainConfig)
 
 
 # ---------------------------------------------------------------------------
@@ -380,6 +418,35 @@ def train_config_from_dict(d: dict[str, Any], **overrides) -> TrainConfig:
     return TrainConfig(**kwargs)
 
 
+def vocoder_train_config_from_dict(d: dict[str, Any],
+                                   **overrides) -> VocoderTrainConfig:
+    """Optional ``vocoder_train:`` section of train.yaml. Field names match
+    the reference's hifigan/config.json where one exists (batch_size,
+    learning_rate, adam_b1/b2, lr_decay, segment_size)."""
+    kwargs: dict[str, Any] = dict(
+        batch_size=d.get("batch_size", 16),
+        segment_size=d.get("segment_size", 8192),
+        learning_rate=float(d.get("learning_rate", 2e-4)),
+        adam_betas=(float(d.get("adam_b1", 0.8)),
+                    float(d.get("adam_b2", 0.99))),
+        weight_decay=float(d.get("weight_decay", 0.01)),
+        lr_decay=float(d.get("lr_decay", 0.999)),
+        lr_decay_steps=d.get("lr_decay_steps", 1000),
+        mel_loss_weight=float(d.get("mel_loss_weight", 45.0)),
+        mpd_periods=tuple(d.get("mpd_periods", (2, 3, 5, 7, 11))),
+        msd_scales=d.get("msd_scales", 3),
+        seed=d.get("seed", 1234),
+        amp_dtype=d.get("amp_dtype", "float32"),
+        steps_per_call=d.get("steps_per_call", 1),
+        total_step=d.get("total_step", 400000),
+        log_step=d.get("log_step", 100),
+        save_step=d.get("save_step", 10000),
+        val_step=d.get("val_step", 5000),
+    )
+    kwargs.update(overrides)
+    return VocoderTrainConfig(**kwargs)
+
+
 def load_config(
     preprocess_yaml: str,
     model_yaml: str,
@@ -414,6 +481,8 @@ def load_config(
         preprocess=pc,
         model=model_config_from_dict(m, **overrides),
         train=train_config_from_dict(t),
+        vocoder_train=vocoder_train_config_from_dict(
+            t.get("vocoder_train") or {}),
     )
 
 

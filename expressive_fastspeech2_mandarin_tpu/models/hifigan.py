@@ -352,3 +352,46 @@ def apply_generator(params: Params, mel: jnp.ndarray,
     x = conv1d(x, params["conv_post"]["kernel"], params["conv_post"]["bias"],
                padding=3)
     return jnp.tanh(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Native generator checkpoint (plain folded kernels; the artifact
+# train.vocoder.train_vocoder exports and Synthesizer loads)
+
+
+def _flatten_tree(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten_tree(v, f"{prefix}{k}/")
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten_tree(v, f"{prefix}{i}/")
+    else:
+        yield prefix[:-1], np.asarray(tree)
+
+
+def save_generator_npz(path: str, params: Params) -> None:
+    """Folded (plain-kernel) generator tree → .npz with path keys."""
+    np.savez(path, **dict(_flatten_tree(params)))
+
+
+def load_generator_npz(path: str) -> Params:
+    """Inverse of :func:`save_generator_npz` (integer path components
+    rebuild lists)."""
+    flat = np.load(path)
+    root: dict = {}
+    for key in flat.files:
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)

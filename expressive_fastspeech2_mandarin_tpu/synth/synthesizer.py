@@ -37,6 +37,17 @@ SRC_BUCKETS = (16, 32, 64, 128, 256)
 MEL_BUCKETS = (250, 500, 1000, 2000)
 
 
+def _load_vocoder(ckpt: str):
+    """HiFi-GAN generator params from either a torch checkpoint
+    (reference universal format) or a native ``generator.npz`` exported by
+    ``efs2-train-vocoder``."""
+    if ckpt.endswith(".npz"):
+        from ..models.hifigan import load_generator_npz
+
+        return load_generator_npz(ckpt)
+    return convert_hifigan(load_torch_state_dict(ckpt, key="generator"))
+
+
 def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
@@ -113,10 +124,7 @@ class Synthesizer:
         (reference: utils/model.py:11-69)."""
         sd = load_torch_state_dict(model_ckpt, key="model")
         params, bn_state, consts = convert_fastspeech2(sd)
-        voc = None
-        if vocoder_ckpt:
-            voc = convert_hifigan(
-                load_torch_state_dict(vocoder_ckpt, key="generator"))
+        voc = _load_vocoder(vocoder_ckpt) if vocoder_ckpt else None
         stats = speaker_map = emotion_maps = None
         path = preprocessed_path or cfg.preprocess.path.preprocessed_path
         if path and os.path.isdir(path):
@@ -151,10 +159,7 @@ class Synthesizer:
                                      jax.random.PRNGKey(0))
         mgr = CheckpointManager(ckpt_dir)
         state: TrainState = mgr.restore(example, step)
-        voc = None
-        if vocoder_ckpt:
-            voc = convert_hifigan(
-                load_torch_state_dict(vocoder_ckpt, key="generator"))
+        voc = _load_vocoder(vocoder_ckpt) if vocoder_ckpt else None
         return cls(
             cfg, state.params, state.bn_state, voc, stats,
             corpus.speaker_map if corpus else None,

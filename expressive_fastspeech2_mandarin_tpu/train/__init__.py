@@ -9,8 +9,22 @@ from .step import (
     make_train_multi_step,
     make_train_step,
 )
+from .vocoder import (
+    SegmentSampler,
+    VocoderTrainState,
+    init_vocoder_train_state,
+    make_vocoder_multi_step,
+    make_vocoder_train_step,
+    train_vocoder,
+)
 
 __all__ = [
+    "VocoderTrainState",
+    "init_vocoder_train_state",
+    "make_vocoder_train_step",
+    "make_vocoder_multi_step",
+    "SegmentSampler",
+    "train_vocoder",
     "LossReport",
     "fastspeech2_loss",
     "noam_schedule",

@@ -42,13 +42,19 @@ class SampleVocoder:
                 convert_hifigan,
                 load_torch_state_dict,
             )
-            from ..models.hifigan import pack_generator_params
+            from ..models.hifigan import (
+                load_generator_npz,
+                pack_generator_params,
+            )
 
-            raw = convert_hifigan(
-                load_torch_state_dict(path, key="generator"),
-                n_ups=len(cfg.model.vocoder.upsample_rates),
-                n_resblock_kernels=len(
-                    cfg.model.vocoder.resblock_kernel_sizes))
+            if path.endswith(".npz"):  # efs2-train-vocoder export
+                raw = load_generator_npz(path)
+            else:
+                raw = convert_hifigan(
+                    load_torch_state_dict(path, key="generator"),
+                    n_ups=len(cfg.model.vocoder.upsample_rates),
+                    n_resblock_kernels=len(
+                        cfg.model.vocoder.resblock_kernel_sizes))
             self._voc_params = jax.tree.map(
                 jnp.asarray,
                 pack_generator_params(

@@ -61,3 +61,8 @@ class CheckpointManager:
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(example._asdict()))
         return TrainState(**restored)
+
+    def restore_dict(self, example: dict, step: int | None = None) -> dict:
+        """Restore an arbitrary state dict (e.g. the vocoder trainer's)."""
+        step = self._mgr.latest_step() if step is None else step
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(example))

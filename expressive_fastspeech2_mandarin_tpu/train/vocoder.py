@@ -1,0 +1,371 @@
+"""HiFi-GAN vocoder training on TPU (the reference's missing half).
+
+The reference ships only an inference Generator (hifigan/models.py:20-174)
+plus the full *training* hyperparameters (hifigan/config.json) and expects
+a universal checkpoint that is an absent git-LFS pointer
+(utils/model.py:63-65) — so a user of the reference cannot actually vocode
+neurally without weights from elsewhere. This trainer closes that gap with
+the published HiFi-GAN V1 recipe those hyperparameters belong to:
+MPD+MSD discriminators, LSGAN adversarial losses, feature matching (×2),
+45× mel L1, AdamW(0.8, 0.99) with ×0.999 exponential decay.
+
+TPU-native structure:
+
+* **Frame-exact segment windows.** Generator-input mels must match the
+  acoustic model's Tacotron-convention mels (reflect pad n_fft/2) or the
+  vocoder trains on a convention it never sees at inference. The host
+  reflect-pads each utterance once; a training example is a
+  ``(segment + n_fft - hop)``-sample *context* window sliced at a random
+  frame boundary, from which the device computes exactly
+  ``segment/hop`` mel frames with no further padding — bit-identical to
+  the corresponding rows of the full-utterance mel — while
+  ``context[n_fft/2 : n_fft/2 + segment]`` is the waveform target.
+* **One generator forward per step via jax.vjp.** The functional
+  equivalent of the torch recipe's "reuse y_g_hat for both updates":
+  ``y_g, vjp = jax.vjp(gen_forward, gen_params)`` feeds the discriminator
+  update (stop-gradient) and the generator cotangents are pulled back
+  through ``vjp`` after the discriminator step — no second forward.
+* **Losses and weight-norm statistics in f32**, convs optionally bf16
+  (``vocoder_train.amp_dtype``); on-device ``lax.scan`` chunking via
+  ``steps_per_call`` like the acoustic loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config, MelConfig
+from ..dsp.stft import MelSTFT
+from ..models.hifigan import apply_generator, init_generator
+from ..models.hifigan_disc import (
+    apply_mpd,
+    apply_msd,
+    discriminator_loss,
+    feature_matching_loss,
+    fold_weight_norm,
+    generator_adv_loss,
+    generator_weight_norm,
+    init_mpd,
+    init_msd,
+)
+from .state import CheckpointManager
+
+Params = dict[str, Any]
+
+
+class VocoderTrainState(NamedTuple):
+    gen: Params        # weight-norm parameterized generator
+    mpd: Params
+    msd: Params
+    opt_g: Any
+    opt_d: Any
+    step: jnp.ndarray  # scalar int32
+    rng: jax.Array
+
+
+class VocoderLossReport(NamedTuple):
+    gen_total: jnp.ndarray
+    disc: jnp.ndarray
+    mel_l1: jnp.ndarray
+    fm: jnp.ndarray
+    adv: jnp.ndarray
+
+    def as_dict(self) -> dict[str, float]:
+        return {k: float(np.asarray(v)) for k, v in self._asdict().items()}
+
+
+def _hifigan_init_scale(params: Params, rng, std: float = 0.01) -> Params:
+    """Re-draw conv kernels as N(0, 0.01) — the recipe's init_weights —
+    keeping tree structure (biases stay at torch-default init)."""
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+    out = []
+    for leaf, key in zip(leaves, keys):
+        if leaf.ndim == 3:  # conv kernels
+            out.append(std * jax.random.normal(key, leaf.shape, leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree.unflatten(treedef, out)
+
+
+def init_vocoder_train_state(cfg: Config, rng=None) -> VocoderTrainState:
+    vcfg = cfg.vocoder_train
+    rng = jax.random.PRNGKey(vcfg.seed) if rng is None else rng
+    kg, ki, kp, ks, rng = jax.random.split(rng, 5)
+    gen = generator_weight_norm(_hifigan_init_scale(
+        init_generator(kg, cfg.model.vocoder), ki))
+    mpd = init_mpd(kp, vcfg.mpd_periods)
+    msd = init_msd(ks, vcfg.msd_scales)
+    tx_g, tx_d = make_vocoder_optimizers(cfg)
+    return VocoderTrainState(
+        gen=gen, mpd=mpd, msd=msd,
+        opt_g=tx_g.init(gen),
+        opt_d=tx_d.init({"mpd": mpd, "msd": msd}),
+        step=jnp.asarray(0, jnp.int32), rng=rng)
+
+
+def make_vocoder_optimizers(cfg: Config):
+    vcfg = cfg.vocoder_train
+    sched = optax.exponential_decay(
+        vcfg.learning_rate, transition_steps=vcfg.lr_decay_steps,
+        decay_rate=vcfg.lr_decay, staircase=True)
+    b1, b2 = vcfg.adam_betas
+
+    def adamw():
+        return optax.adamw(sched, b1=b1, b2=b2,
+                           weight_decay=vcfg.weight_decay)
+
+    return adamw(), adamw()
+
+
+def context_samples(cfg: Config) -> int:
+    """Host window size per example: segment + (n_fft - hop) halo."""
+    stft = cfg.preprocess.stft
+    return (cfg.vocoder_train.segment_size
+            + stft.filter_length - stft.hop_length)
+
+
+def logmel_from_context(context: jnp.ndarray, stft: MelSTFT,
+                        n_frames: int) -> jnp.ndarray:
+    """(B, ctx) context window → (B, n_frames, n_mels) log-mel with NO
+    additional padding — the halo already carries the reflect padding, so
+    these rows are bit-identical to the corresponding rows of the
+    full-utterance ``MelSTFT.mel_energy`` output (tested in
+    tests/test_vocoder_train.py)."""
+    idx = (jnp.arange(n_frames)[:, None] * stft.hop
+           + jnp.arange(stft.n_fft)[None, :])
+    frames = context[:, idx]
+    mag = jnp.abs(jnp.fft.rfft(frames * stft.window[None, None, :],
+                               axis=-1)).astype(jnp.float32)
+    return jnp.log(jnp.clip(mag @ stft.mel_basis.T, min=1e-5))
+
+
+def make_vocoder_train_step(cfg: Config, donate: bool = True):
+    """Returns jitted ``step(state, context) -> (state, VocoderLossReport)``
+    where ``context`` is (B, segment + n_fft - hop) f32 waveform windows
+    sliced from reflect-padded utterances at frame boundaries."""
+    vcfg = cfg.vocoder_train
+    pre = cfg.preprocess
+    n_fft, hop = pre.stft.filter_length, pre.stft.hop_length
+    half = n_fft // 2
+    seg = vcfg.segment_size
+    n_frames = seg // hop
+    amp = jnp.dtype(vcfg.amp_dtype)
+    tx_g, tx_d = make_vocoder_optimizers(cfg)
+
+    # Generator-input mel: the acoustic band (what FastSpeech2 predicts).
+    mel_in = MelSTFT(pre.stft, pre.mel, pre.audio.sampling_rate)
+    # Loss mel: full band (hifigan/config.json fmax_for_loss: null).
+    mel_loss = MelSTFT(
+        pre.stft,
+        MelConfig(n_mel_channels=pre.mel.n_mel_channels,
+                  mel_fmin=0.0, mel_fmax=None),
+        pre.audio.sampling_rate)
+
+    def loss_mel_of_wav(wav: jnp.ndarray) -> jnp.ndarray:
+        """Loss mel of a bare (B, seg) segment (symmetric for y and ŷ)."""
+        frames = mel_loss.frame(wav) * mel_loss.window[None, None, :]
+        mag = jnp.abs(jnp.fft.rfft(frames, axis=-1)).astype(jnp.float32)
+        return jnp.log(jnp.clip(mag @ mel_loss.mel_basis.T, min=1e-5))
+
+    def cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    def gen_forward(gen_params, mel):
+        folded = fold_weight_norm(gen_params)
+        if amp != jnp.float32:
+            folded = cast(folded, amp)
+            mel = mel.astype(amp)
+        wav = apply_generator(folded, mel, cfg.model.vocoder, fast=False)
+        return wav.astype(jnp.float32)
+
+    def train_step(state: VocoderTrainState, context: jnp.ndarray):
+        context = context.astype(jnp.float32)
+        mel = logmel_from_context(context, mel_in, n_frames)  # (B, F, 80)
+        y = context[:, half: half + seg]                  # (B, seg)
+
+        # One generator forward; cotangents pulled back after the D step.
+        y_g, gen_vjp = jax.vjp(
+            lambda p: gen_forward(p, mel), state.gen)
+        y_g_sg = jax.lax.stop_gradient(y_g)
+
+        # -- discriminator update (real vs detached fake) --
+        def d_loss_fn(d_params):
+            pr, _ = apply_mpd(d_params["mpd"], y, vcfg.mpd_periods)
+            pg, _ = apply_mpd(d_params["mpd"], y_g_sg, vcfg.mpd_periods)
+            sr, _ = apply_msd(d_params["msd"], y)
+            sg, _ = apply_msd(d_params["msd"], y_g_sg)
+            return discriminator_loss(pr, pg) + discriminator_loss(sr, sg)
+
+        d_params = {"mpd": state.mpd, "msd": state.msd}
+        d_total, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        d_updates, new_opt_d = tx_d.update(d_grads, state.opt_d, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+        new_mpd, new_msd = d_params["mpd"], d_params["msd"]
+
+        # -- generator losses against the UPDATED discriminator --
+        def g_loss_of_wav(wav):
+            _pr, fr = apply_mpd(new_mpd, y, vcfg.mpd_periods)
+            pg, fg = apply_mpd(new_mpd, wav, vcfg.mpd_periods)
+            _sr, gr = apply_msd(new_msd, y)
+            sg, gg = apply_msd(new_msd, wav)
+            adv = generator_adv_loss(pg) + generator_adv_loss(sg)
+            fm = (feature_matching_loss(fr, fg)
+                  + feature_matching_loss(gr, gg))
+            mel_l1 = jnp.mean(jnp.abs(loss_mel_of_wav(y)
+                                      - loss_mel_of_wav(wav)))
+            total = adv + fm + vcfg.mel_loss_weight * mel_l1
+            return total, (adv, fm, mel_l1)
+
+        (g_total, (adv, fm, mel_l1)), wav_grad = jax.value_and_grad(
+            g_loss_of_wav, has_aux=True)(y_g)
+        (g_grads,) = gen_vjp(wav_grad)
+        g_updates, new_opt_g = tx_g.update(g_grads, state.opt_g, state.gen)
+        new_gen = optax.apply_updates(state.gen, g_updates)
+
+        new_state = VocoderTrainState(
+            gen=new_gen, mpd=new_mpd, msd=new_msd,
+            opt_g=new_opt_g, opt_d=new_opt_d,
+            step=state.step + 1, rng=state.rng)
+        report = VocoderLossReport(
+            gen_total=g_total, disc=d_total, mel_l1=mel_l1, fm=fm, adv=adv)
+        return new_state, report
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_vocoder_multi_step(cfg: Config, n_steps: int):
+    """n_steps updates per host dispatch (lax.scan over stacked contexts);
+    reports the chunk's mean losses — same amortization as the acoustic
+    loop's ``train.steps_per_call``."""
+    single_step = make_vocoder_train_step(cfg, donate=False)
+
+    def multi(state: VocoderTrainState, contexts: jnp.ndarray):
+        def body(carry, ctx):
+            return single_step(carry, ctx)
+
+        state, reports = jax.lax.scan(body, state, contexts)
+        return state, jax.tree.map(lambda x: jnp.mean(x, 0), reports)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Host-side segment sampling
+
+
+class SegmentSampler:
+    """Random frame-aligned context windows from in-memory utterances.
+
+    Each utterance is reflect-padded by n_fft/2 once (the full-utterance
+    Tacotron STFT padding), so every sampled window reproduces the exact
+    frames the preprocessor would emit for those rows. Short utterances are
+    zero-padded at the tail like the torch recipe pads short wavs.
+    """
+
+    def __init__(self, cfg: Config, wavs: list[np.ndarray], seed: int = 0):
+        pre = cfg.preprocess
+        self.ctx = context_samples(cfg)
+        self.hop = pre.stft.hop_length
+        half = pre.stft.filter_length // 2
+        self.padded = []
+        for w in wavs:
+            w = np.asarray(w, np.float32)
+            need = self.ctx - (len(w) + 2 * half)
+            if need > 0:
+                w = np.pad(w, (0, need))
+            if len(w) < half + 1:
+                w = np.pad(w, (0, half + 1 - len(w)))
+            self.padded.append(np.pad(w, (half, half), mode="reflect"))
+        self.rng = np.random.default_rng(seed)
+
+    def sample(self, batch_size: int) -> np.ndarray:
+        out = np.empty((batch_size, self.ctx), np.float32)
+        idx = self.rng.integers(0, len(self.padded), batch_size)
+        for i, j in enumerate(idx):
+            w = self.padded[j]
+            max_f = (len(w) - self.ctx) // self.hop
+            f = int(self.rng.integers(0, max_f + 1))
+            out[i] = w[f * self.hop: f * self.hop + self.ctx]
+        return out
+
+
+def load_corpus_wavs(wav_dir: str, sampling_rate: int,
+                     limit: int | None = None) -> list[np.ndarray]:
+    """All .wav under ``wav_dir`` (recursive), resampled to the config
+    rate, peak-normalized like the corpus prep (esd_chinese.py:143-146)."""
+    from ..utils.wav import load_wav
+
+    paths = []
+    for root, _dirs, files in os.walk(wav_dir):
+        for f in sorted(files):
+            if f.endswith(".wav"):
+                paths.append(os.path.join(root, f))
+    if limit:
+        paths = paths[:limit]
+    if not paths:
+        raise FileNotFoundError(f"no .wav files under {wav_dir}")
+    wavs = []
+    for p in paths:
+        audio, _sr = load_wav(p, sr=sampling_rate)
+        peak = np.abs(audio).max()
+        if peak > 0:
+            audio = 0.95 * audio / peak
+        wavs.append(audio.astype(np.float32))
+    return wavs
+
+
+def train_vocoder(cfg: Config, wavs: list[np.ndarray],
+                  out_dir: str, total_steps: int | None = None,
+                  log=print) -> VocoderTrainState:
+    """Run the GAN loop; saves Orbax checkpoints + metrics.jsonl under
+    ``out_dir`` and the folded generator to ``generator.npz`` at the end."""
+    from ..models.hifigan import save_generator_npz
+
+    vcfg = cfg.vocoder_train
+    total = total_steps or vcfg.total_step
+    spc = max(1, vcfg.steps_per_call)
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"))
+    state = init_vocoder_train_state(cfg)
+    if ckpt.latest_step() is not None:
+        state = VocoderTrainState(**ckpt.restore_dict(state._asdict()))
+        log(f"restored vocoder step {int(state.step)}")
+    sampler = SegmentSampler(cfg, wavs, seed=vcfg.seed)
+    step_fn = (make_vocoder_multi_step(cfg, spc) if spc > 1
+               else make_vocoder_train_step(cfg))
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+    t0 = time.time()
+    step = int(state.step)
+    with open(metrics_path, "a") as mf:
+        while step < total:
+            if spc > 1:
+                batch = np.stack([sampler.sample(vcfg.batch_size)
+                                  for _ in range(spc)])
+            else:
+                batch = sampler.sample(vcfg.batch_size)
+            state, report = step_fn(state, jnp.asarray(batch))
+            step += spc
+            if step % max(vcfg.log_step, spc) < spc:
+                rec = {"step": step, "time": time.time() - t0,
+                       **report.as_dict()}
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                log(f"voc step {step}: gen {rec['gen_total']:.3f} "
+                    f"mel {rec['mel_l1']:.3f} disc {rec['disc']:.3f}")
+            if step % max(vcfg.save_step, spc) < spc or step >= total:
+                ckpt.save(step, state)
+    save_generator_npz(
+        os.path.join(out_dir, "generator.npz"),
+        fold_weight_norm(jax.tree.map(np.asarray, state.gen)))
+    return state
