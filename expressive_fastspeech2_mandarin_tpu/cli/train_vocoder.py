@@ -29,6 +29,9 @@ def main() -> None:
                     help="override vocoder_train.total_step")
     ap.add_argument("--limit", type=int, default=None,
                     help="cap the number of wavs loaded (smoke runs)")
+    ap.add_argument("--init_ckpt", default=None,
+                    help="warm-start the generator for fine-tuning: a "
+                         "generator.npz or a torch HiFi-GAN checkpoint")
     args = ap.parse_args()
 
     cfg = config_from_args(args)
@@ -41,13 +44,19 @@ def main() -> None:
 
     from ..train.vocoder import load_corpus_wavs, train_vocoder
 
+    init_params = None
+    if args.init_ckpt:
+        from ..synth.synthesizer import _load_vocoder
+
+        init_params = _load_vocoder(args.init_ckpt)
     wavs = load_corpus_wavs(wav_dir, cfg.preprocess.audio.sampling_rate,
                             limit=args.limit)
     print(f"vocoder training: {len(wavs)} utterances "
           f"({sum(len(w) for w in wavs) / cfg.preprocess.audio.sampling_rate:.1f} s), "
           f"batch {cfg.vocoder_train.batch_size} × "
           f"{cfg.vocoder_train.segment_size} samples → {out}")
-    train_vocoder(cfg, wavs, out, total_steps=args.total_steps)
+    train_vocoder(cfg, wavs, out, total_steps=args.total_steps,
+                  init_generator_params=init_params)
 
 
 if __name__ == "__main__":

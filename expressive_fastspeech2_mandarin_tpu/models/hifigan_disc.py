@@ -22,6 +22,11 @@ TPU-native formulation:
   it to plain kernels for the packed inference path — the same
   train-normalized / inference-folded split as the reference
   (utils/model.py:66-69 removes weight norm before inference).
+
+Known deviation from the paper: the first MSD scale uses weight norm like
+the others instead of spectral norm (whose power-iteration ``u`` vectors
+are extra mutable state a functional step would have to carry, for a
+normalization the paper itself reports as a minor variant).
 """
 
 from __future__ import annotations

@@ -96,12 +96,22 @@ def _hifigan_init_scale(params: Params, rng, std: float = 0.01) -> Params:
     return jax.tree.unflatten(treedef, out)
 
 
-def init_vocoder_train_state(cfg: Config, rng=None) -> VocoderTrainState:
+def init_vocoder_train_state(cfg: Config, rng=None,
+                             init_generator_params: Params | None = None
+                             ) -> VocoderTrainState:
+    """Fresh GAN state. ``init_generator_params`` (plain folded kernels,
+    e.g. a loaded ``generator.npz`` or a converted torch universal
+    checkpoint) warm-starts the generator for fine-tuning; discriminators
+    always start fresh, as in the published fine-tuning recipe."""
     vcfg = cfg.vocoder_train
     rng = jax.random.PRNGKey(vcfg.seed) if rng is None else rng
     kg, ki, kp, ks, rng = jax.random.split(rng, 5)
-    gen = generator_weight_norm(_hifigan_init_scale(
-        init_generator(kg, cfg.model.vocoder), ki))
+    if init_generator_params is not None:
+        gen = generator_weight_norm(
+            jax.tree.map(jnp.asarray, init_generator_params))
+    else:
+        gen = generator_weight_norm(_hifigan_init_scale(
+            init_generator(kg, cfg.model.vocoder), ki))
     mpd = init_mpd(kp, vcfg.mpd_periods)
     msd = init_msd(ks, vcfg.msd_scales)
     tx_g, tx_d = make_vocoder_optimizers(cfg)
@@ -327,6 +337,7 @@ def load_corpus_wavs(wav_dir: str, sampling_rate: int,
 
 def train_vocoder(cfg: Config, wavs: list[np.ndarray],
                   out_dir: str, total_steps: int | None = None,
+                  init_generator_params: Params | None = None,
                   log=print) -> VocoderTrainState:
     """Run the GAN loop; saves Orbax checkpoints + metrics.jsonl under
     ``out_dir`` and the folded generator to ``generator.npz`` at the end."""
@@ -337,7 +348,8 @@ def train_vocoder(cfg: Config, wavs: list[np.ndarray],
     spc = max(1, vcfg.steps_per_call)
     os.makedirs(out_dir, exist_ok=True)
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"))
-    state = init_vocoder_train_state(cfg)
+    state = init_vocoder_train_state(
+        cfg, init_generator_params=init_generator_params)
     if ckpt.latest_step() is not None:
         state = VocoderTrainState(**ckpt.restore_dict(state._asdict()))
         log(f"restored vocoder step {int(state.step)}")

@@ -336,3 +336,52 @@ def test_train_vocoder_loop_and_export(tmp_path):
     mel = jnp.asarray(np.zeros((1, 4, 80), np.float32))
     wav = apply_generator(gen, mel, cfg.model.vocoder, fast=False)
     assert wav.shape == (1, 256)
+
+
+# ---------------------------------------------------------------------------
+# Data parallelism
+
+
+def test_vocoder_dp_matches_single_device():
+    """The GAN step under an 8-device data-sharded mesh reproduces the
+    1-device loss trajectory (jit inserts the gradient all-reduces for
+    both optimizers; the step itself is deterministic)."""
+    from expressive_fastspeech2_mandarin_tpu.parallel import make_mesh
+    from expressive_fastspeech2_mandarin_tpu.parallel.mesh import (
+        data_sharding,
+    )
+
+    cfg = tiny_cfg(batch_size=8, segment_size=512, mpd_periods=(2,),
+                   msd_scales=1)
+    state0 = init_vocoder_train_state(cfg)
+    step = make_vocoder_train_step(cfg, donate=False)
+    rng = np.random.default_rng(7)
+    wavs = [rng.normal(0, 0.2, 2500).astype(np.float32) for _ in range(3)]
+    ctx_np = SegmentSampler(cfg, wavs, seed=2).sample(8)
+
+    def run(mesh, steps=2):
+        state = jax.device_put(state0)
+        ctx = jax.device_put(ctx_np, data_sharding(mesh))
+        out = []
+        for _ in range(steps):
+            state, report = step(state, ctx)
+            out.append((float(report.gen_total), float(report.disc),
+                        float(report.mel_l1)))
+        return out
+
+    r1 = run(make_mesh(devices=jax.devices()[:1]))
+    r8 = run(make_mesh(devices=jax.devices()))
+    np.testing.assert_allclose(r1, r8, rtol=2e-4, atol=1e-5)
+
+
+def test_finetune_init_from_folded_params():
+    """Warm-starting from folded kernels reproduces them exactly after
+    weight-norm fold (the --init_ckpt fine-tuning path)."""
+    cfg = tiny_cfg()
+    gen = init_generator(jax.random.PRNGKey(9), cfg.model.vocoder)
+    state = init_vocoder_train_state(cfg, init_generator_params=gen)
+    refolded = fold_weight_norm(state.gen)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        gen, refolded)
