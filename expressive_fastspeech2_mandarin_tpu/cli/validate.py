@@ -322,6 +322,78 @@ def validate_synth(result_dir: str, expected_sr: int = 22050,
     return out
 
 
+def validate_vocoder(cfg, vocoder_ckpt: str, wav_dir: str, n: int = 8,
+                     out_dir: str | None = None, baseline: bool = False,
+                     seed: int = 0) -> dict:
+    """Copy-synthesis quality gate for a trained vocoder: vocode
+    ground-truth mels of real utterances and measure the round-trip log-mel
+    L1 (mel of the vocoded wav vs the input mel). Isolates vocoder quality
+    from the acoustic model; ``baseline=True`` adds the Griffin-Lim
+    round-trip on the same mels for comparison. No reference equivalent —
+    the reference cannot train or evaluate a vocoder at all (its universal
+    checkpoint is an absent git-LFS pointer, utils/model.py:63-65)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..dsp.stft import MelSTFT
+    from ..models.hifigan import apply_generator, pack_generator_params
+    from ..synth.synthesizer import _load_vocoder
+    from ..train.vocoder import load_corpus_wavs
+    from ..utils.wav import save_wav
+
+    voc = pack_generator_params(
+        _load_vocoder(vocoder_ckpt), cfg.model.vocoder,
+        fused=jax.default_backend() == "tpu", fused_stages=(0,))
+    dtype = jnp.dtype(cfg.model.vocoder.compute_dtype)
+    voc = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, voc)
+    stft = MelSTFT(cfg.preprocess.stft, cfg.preprocess.mel,
+                   cfg.preprocess.audio.sampling_rate)
+    hop = cfg.preprocess.stft.hop_length
+    sr = cfg.preprocess.audio.sampling_rate
+
+    wavs = load_corpus_wavs(wav_dir, sr)
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(wavs))[:n]
+
+    gen = jax.jit(lambda p, m: apply_generator(
+        p, m.astype(dtype), cfg.model.vocoder).astype(jnp.float32))
+
+    def roundtrip_l1(mel_in: jnp.ndarray, wav_out: jnp.ndarray) -> float:
+        mel_back, _ = stft.mel_energy(wav_out)
+        f = min(mel_in.shape[1], mel_back.shape[1])
+        return float(jnp.mean(jnp.abs(mel_back[:, :f] - mel_in[:, :f])))
+
+    out: dict = {"files": [], "vocoder_ckpt": vocoder_ckpt}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    for k, i in enumerate(idx):
+        wav = wavs[i]
+        mel, _ = stft.mel_energy(jnp.asarray(wav)[None])
+        wav_hat = gen(voc, mel)
+        rec = {"index": int(i), "frames": int(mel.shape[1]),
+               "mel_l1_hifigan": roundtrip_l1(mel, wav_hat)}
+        if baseline:
+            with jax.default_device(jax.devices("cpu")[0]):
+                gl = stft.mel_to_audio(mel)  # (1, T)
+            rec["mel_l1_griffin_lim"] = roundtrip_l1(mel, jnp.asarray(gl))
+        out["files"].append(rec)
+        if out_dir and k < 4:
+            save_wav(os.path.join(out_dir, f"copysynth_{i:04d}.wav"),
+                     np.asarray(wav_hat[0]), sr)
+            save_wav(os.path.join(out_dir, f"copysynth_{i:04d}_gt.wav"),
+                     wav, sr)
+    l1s = [f["mel_l1_hifigan"] for f in out["files"]]
+    out["mel_l1_hifigan_mean"] = float(np.mean(l1s))
+    out["mel_l1_hifigan_median"] = float(np.median(l1s))
+    if baseline:
+        gls = [f["mel_l1_griffin_lim"] for f in out["files"]]
+        out["mel_l1_griffin_lim_mean"] = float(np.mean(gls))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="efs2-validate")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -345,6 +417,19 @@ def main() -> None:
 
     add_config_args(ck)
     ck.add_argument("--ckpt-dir", default=None)
+
+    vo = sub.add_parser("vocoder",
+                        help="copy-synthesis quality gate for a trained "
+                             "vocoder (GT-mel round-trip L1)")
+    add_config_args(vo)
+    vo.add_argument("--vocoder-ckpt", required=True,
+                    help="generator.npz (efs2-train-vocoder) or torch ckpt")
+    vo.add_argument("--wav-dir", required=True)
+    vo.add_argument("--n", type=int, default=8)
+    vo.add_argument("--out-dir", default=None,
+                    help="write a few copy-synthesis wav pairs here")
+    vo.add_argument("--baseline", action="store_true",
+                    help="also compute the Griffin-Lim round-trip L1")
 
     sy = sub.add_parser("synth", help="audio-health check of output wavs")
     sy.add_argument("--result-dir", required=True)
@@ -371,6 +456,14 @@ def main() -> None:
         cfg = config_from_args(args)
         ckpt = args.ckpt_dir or cfg.train.path.ckpt_path
         print(json.dumps(validate_checkpoint(ckpt, cfg), indent=2))
+    elif args.cmd == "vocoder":
+        from .common import config_from_args
+
+        cfg = config_from_args(args)
+        out = validate_vocoder(cfg, args.vocoder_ckpt, args.wav_dir,
+                               n=args.n, out_dir=args.out_dir,
+                               baseline=args.baseline)
+        print(json.dumps(out, indent=2))
     elif args.cmd == "synth":
         out = validate_synth(args.result_dir, args.sampling_rate,
                              args.min_amplitude, args.min_duration,

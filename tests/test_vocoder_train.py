@@ -385,3 +385,27 @@ def test_finetune_init_from_folded_params():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         gen, refolded)
+
+
+def test_validate_vocoder_copysynth(tmp_path):
+    """efs2-validate vocoder: copy-synthesis round-trip on a tiny config."""
+    from expressive_fastspeech2_mandarin_tpu.cli.validate import (
+        validate_vocoder,
+    )
+    from expressive_fastspeech2_mandarin_tpu.utils.wav import save_wav
+
+    cfg = tiny_cfg()
+    gen = init_generator(jax.random.PRNGKey(11), cfg.model.vocoder)
+    npz = str(tmp_path / "generator.npz")
+    save_generator_npz(npz, gen)
+    rng = np.random.default_rng(12)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for i in range(3):
+        save_wav(str(wav_dir / f"u{i}.wav"),
+                 0.3 * rng.normal(size=4000).astype(np.float32), 16000)
+    out = validate_vocoder(cfg, npz, str(wav_dir), n=2,
+                           out_dir=str(tmp_path / "cs"))
+    assert len(out["files"]) == 2
+    assert np.isfinite(out["mel_l1_hifigan_mean"])
+    assert (tmp_path / "cs").exists()
