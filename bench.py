@@ -321,6 +321,41 @@ def _train_e2e_bench(jax, total=600, measure_from=200,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _vocoder_train_bench(jax, steps=20, spc=10):
+    """GAN steps/s for HiFi-GAN vocoder training (full-size generator +
+    MPD/MSD, batch 16 × 8192-sample segments, bf16 amp, scan-chunked) —
+    the efs2-train-vocoder hot loop."""
+    import jax.numpy as jnp
+
+    from expressive_fastspeech2_mandarin_tpu.config import (
+        Config,
+        VocoderTrainConfig,
+    )
+    from expressive_fastspeech2_mandarin_tpu.train.vocoder import (
+        SegmentSampler,
+        init_vocoder_train_state,
+        make_vocoder_multi_step,
+    )
+
+    cfg = Config(vocoder_train=VocoderTrainConfig(
+        amp_dtype="bfloat16", steps_per_call=spc))
+    state = init_vocoder_train_state(cfg)
+    rng = np.random.default_rng(0)
+    wavs = [rng.normal(0, 0.2, 40000).astype(np.float32) for _ in range(4)]
+    sampler = SegmentSampler(cfg, wavs, seed=0)
+    fn = make_vocoder_multi_step(cfg, spc)
+    stacked = jnp.asarray(np.stack(
+        [sampler.sample(cfg.vocoder_train.batch_size) for _ in range(spc)]))
+    state, rep = fn(state, stacked)
+    jax.block_until_ready(rep)
+    rounds = max(1, steps // spc)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        state, rep = fn(state, stacked)
+    jax.block_until_ready(rep)
+    return rounds * spc / (time.perf_counter() - t0)
+
+
 def main():
     import jax
 
@@ -340,6 +375,10 @@ def main():
     tuned_steps_per_s, _, tuned_mfu, _ = _train_bench(
         jax, steps=20, b=32, measure_single=False, amp="bfloat16")
     audio_s_per_s, rtf, gen_dt, synth_mfu = _synth_bench(jax)
+    try:
+        voc_train_steps_per_s = round(_vocoder_train_bench(jax), 2)
+    except Exception:
+        voc_train_steps_per_s = None
     e2e = _train_e2e_bench(jax)
     # Compute-only reference in the SAME tunnel phase as the e2e windows.
     compute_ref = burst()
@@ -362,6 +401,7 @@ def main():
             "synth_rtf": round(rtf, 5),
             "synth_generator_ms": round(gen_dt * 1e3, 1),
             "synth_mfu": (round(synth_mfu, 4) if synth_mfu else None),
+            "vocoder_train_steps_per_s": voc_train_steps_per_s,
             "backend": backend,
             "synth_config": "batch 8 x 1000 mel frames, FastSpeech2 + HiFi-GAN",
         },

@@ -32,6 +32,14 @@ def main() -> None:
     ap.add_argument("--init_ckpt", default=None,
                     help="warm-start the generator for fine-tuning: a "
                          "generator.npz or a torch HiFi-GAN checkpoint")
+    ap.add_argument("--gta", default=None, metavar="ACOUSTIC_CKPT_DIR",
+                    help="GTA fine-tuning: export teacher-forced predicted "
+                         "mels from this acoustic checkpoint (Orbax dir) "
+                         "and train on (predicted mel, real wav) pairs — "
+                         "the FastSpeech2+HiFi-GAN production recipe")
+    ap.add_argument("--paired_gt", action="store_true",
+                    help="paired mode on the preprocessed GT mels "
+                         "(ablation baseline for --gta)")
     args = ap.parse_args()
 
     cfg = config_from_args(args)
@@ -49,6 +57,25 @@ def main() -> None:
         from ..synth.synthesizer import _load_vocoder
 
         init_params = _load_vocoder(args.init_ckpt)
+    if args.gta or args.paired_gt:
+        from ..train.vocoder import export_gta_mels, load_paired_corpus
+
+        mel_dir = None
+        if args.gta:
+            mel_dir = os.path.join(out, "gta_mels")
+            if not os.path.isdir(mel_dir) or not os.listdir(mel_dir):
+                export_gta_mels(cfg, args.gta, mel_dir)
+        pairs = load_paired_corpus(cfg, mel_dir=mel_dir)
+        if args.limit:
+            pairs = pairs[:args.limit]
+        sr = cfg.preprocess.audio.sampling_rate
+        print(f"vocoder training (paired{'/GTA' if args.gta else ''}): "
+              f"{len(pairs)} utterances "
+              f"({sum(len(w) for _m, w in pairs) / sr:.1f} s) → {out}")
+        train_vocoder(cfg, None, out, total_steps=args.total_steps,
+                      init_generator_params=init_params, pairs=pairs)
+        return
+
     wavs = load_corpus_wavs(wav_dir, cfg.preprocess.audio.sampling_rate,
                             limit=args.limit)
     print(f"vocoder training: {len(wavs)} utterances "

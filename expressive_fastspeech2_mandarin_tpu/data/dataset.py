@@ -185,3 +185,10 @@ class BucketedDataset:
               ) -> Iterator[dict[str, np.ndarray]]:
         for batch in self._batches(epoch, shuffle):
             yield self._collate(batch)
+
+    def epoch_with_examples(self, epoch: int = 0, shuffle: bool = True):
+        """Like :meth:`epoch` but also yields the row-aligned Example list
+        (per-utterance export paths, e.g. train.vocoder.export_gta_mels,
+        need the basenames the collated batch drops)."""
+        for batch in self._batches(epoch, shuffle):
+            yield self._collate(batch), batch

@@ -158,10 +158,20 @@ def logmel_from_context(context: jnp.ndarray, stft: MelSTFT,
     return jnp.log(jnp.clip(mag @ stft.mel_basis.T, min=1e-5))
 
 
-def make_vocoder_train_step(cfg: Config, donate: bool = True):
-    """Returns jitted ``step(state, context) -> (state, VocoderLossReport)``
-    where ``context`` is (B, segment + n_fft - hop) f32 waveform windows
-    sliced from reflect-padded utterances at frame boundaries."""
+def make_vocoder_train_step(cfg: Config, donate: bool = True,
+                            paired: bool = False):
+    """Returns jitted ``step(state, batch) -> (state, VocoderLossReport)``.
+
+    Context mode (default): ``batch`` is (B, segment + n_fft - hop) f32
+    waveform windows sliced from reflect-padded utterances at frame
+    boundaries; the input mel is computed on device.
+
+    Paired mode (``paired=True``, the GTA fine-tuning recipe): ``batch`` is
+    ``{"mel": (B, segment/hop, n_mels), "wav": (B, segment)}`` — the mel
+    comes from disk (e.g. teacher-forced acoustic-model predictions,
+    :func:`export_gta_mels`), so the generator trains on the distribution
+    it will actually see at synthesis time.
+    """
     vcfg = cfg.vocoder_train
     pre = cfg.preprocess
     n_fft, hop = pre.stft.filter_length, pre.stft.hop_length
@@ -199,10 +209,14 @@ def make_vocoder_train_step(cfg: Config, donate: bool = True):
         wav = apply_generator(folded, mel, cfg.model.vocoder, fast=False)
         return wav.astype(jnp.float32)
 
-    def train_step(state: VocoderTrainState, context: jnp.ndarray):
-        context = context.astype(jnp.float32)
-        mel = logmel_from_context(context, mel_in, n_frames)  # (B, F, 80)
-        y = context[:, half: half + seg]                  # (B, seg)
+    def train_step(state: VocoderTrainState, batch):
+        if paired:
+            mel = batch["mel"].astype(jnp.float32)        # (B, F, 80)
+            y = batch["wav"].astype(jnp.float32)          # (B, seg)
+        else:
+            context = batch.astype(jnp.float32)
+            mel = logmel_from_context(context, mel_in, n_frames)
+            y = context[:, half: half + seg]              # (B, seg)
 
         # One generator forward; cotangents pulled back after the D step.
         y_g, gen_vjp = jax.vjp(
@@ -254,17 +268,18 @@ def make_vocoder_train_step(cfg: Config, donate: bool = True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_vocoder_multi_step(cfg: Config, n_steps: int):
-    """n_steps updates per host dispatch (lax.scan over stacked contexts);
+def make_vocoder_multi_step(cfg: Config, n_steps: int,
+                            paired: bool = False):
+    """n_steps updates per host dispatch (lax.scan over stacked batches);
     reports the chunk's mean losses — same amortization as the acoustic
     loop's ``train.steps_per_call``."""
-    single_step = make_vocoder_train_step(cfg, donate=False)
+    single_step = make_vocoder_train_step(cfg, donate=False, paired=paired)
 
-    def multi(state: VocoderTrainState, contexts: jnp.ndarray):
-        def body(carry, ctx):
-            return single_step(carry, ctx)
+    def multi(state: VocoderTrainState, batches):
+        def body(carry, b):
+            return single_step(carry, b)
 
-        state, reports = jax.lax.scan(body, state, contexts)
+        state, reports = jax.lax.scan(body, state, batches)
         return state, jax.tree.map(lambda x: jnp.mean(x, 0), reports)
 
     return jax.jit(multi, donate_argnums=(0,))
@@ -335,17 +350,22 @@ def load_corpus_wavs(wav_dir: str, sampling_rate: int,
     return wavs
 
 
-def train_vocoder(cfg: Config, wavs: list[np.ndarray],
+def train_vocoder(cfg: Config, wavs: list[np.ndarray] | None,
                   out_dir: str, total_steps: int | None = None,
                   init_generator_params: Params | None = None,
-                  log=print) -> VocoderTrainState:
+                  pairs=None, log=print) -> VocoderTrainState:
     """Run the GAN loop; saves Orbax checkpoints + metrics.jsonl under
-    ``out_dir`` and the folded generator to ``generator.npz`` at the end."""
+    ``out_dir`` and the folded generator to ``generator.npz`` at the end.
+
+    ``wavs`` drives context mode; passing ``pairs`` (from
+    :func:`load_paired_corpus`) instead switches to the paired/GTA mode.
+    """
     from ..models.hifigan import save_generator_npz
 
     vcfg = cfg.vocoder_train
     total = total_steps or vcfg.total_step
     spc = max(1, vcfg.steps_per_call)
+    paired = pairs is not None
     os.makedirs(out_dir, exist_ok=True)
     ckpt = CheckpointManager(os.path.join(out_dir, "ckpt"))
     state = init_vocoder_train_state(
@@ -353,20 +373,26 @@ def train_vocoder(cfg: Config, wavs: list[np.ndarray],
     if ckpt.latest_step() is not None:
         state = VocoderTrainState(**ckpt.restore_dict(state._asdict()))
         log(f"restored vocoder step {int(state.step)}")
-    sampler = SegmentSampler(cfg, wavs, seed=vcfg.seed)
-    step_fn = (make_vocoder_multi_step(cfg, spc) if spc > 1
-               else make_vocoder_train_step(cfg))
+    sampler = (PairedSegmentSampler(cfg, pairs, seed=vcfg.seed) if paired
+               else SegmentSampler(cfg, wavs, seed=vcfg.seed))
+    step_fn = (make_vocoder_multi_step(cfg, spc, paired=paired) if spc > 1
+               else make_vocoder_train_step(cfg, paired=paired))
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     t0 = time.time()
     step = int(state.step)
     with open(metrics_path, "a") as mf:
         while step < total:
             if spc > 1:
-                batch = np.stack([sampler.sample(vcfg.batch_size)
-                                  for _ in range(spc)])
+                samples = [sampler.sample(vcfg.batch_size)
+                           for _ in range(spc)]
+                if paired:
+                    batch = {k: np.stack([s[k] for s in samples])
+                             for k in samples[0]}
+                else:
+                    batch = np.stack(samples)
             else:
                 batch = sampler.sample(vcfg.batch_size)
-            state, report = step_fn(state, jnp.asarray(batch))
+            state, report = step_fn(state, jax.tree.map(jnp.asarray, batch))
             step += spc
             if step % max(vcfg.log_step, spc) < spc:
                 rec = {"step": step, "time": time.time() - t0,
@@ -381,3 +407,152 @@ def train_vocoder(cfg: Config, wavs: list[np.ndarray],
         os.path.join(out_dir, "generator.npz"),
         fold_weight_norm(jax.tree.map(np.asarray, state.gen)))
     return state
+
+
+# ---------------------------------------------------------------------------
+# GTA (ground-truth-aligned) fine-tuning: train the vocoder on the
+# acoustic model's teacher-forced predicted mels paired with real waveforms
+# — the standard FastSpeech2+HiFi-GAN production recipe. The reference has
+# no equivalent (it cannot train a vocoder at all).
+
+LOG_MEL_PAD = float(np.log(1e-5))  # silence in log-clamp mel space
+
+
+class PairedSegmentSampler:
+    """Random frame-aligned (mel slice, waveform segment) pairs.
+
+    ``pairs`` holds (mel (F, n_mels), wav (T,)) per utterance where mel row
+    k corresponds to the window centered at sample k·hop of ``wav`` (the
+    preprocessor's Tacotron framing). Short utterances are padded with
+    log-clamp silence / zeros.
+    """
+
+    def __init__(self, cfg: Config, pairs, seed: int = 0):
+        self.hop = cfg.preprocess.stft.hop_length
+        self.seg = cfg.vocoder_train.segment_size
+        self.n_frames = self.seg // self.hop
+        self.n_mels = cfg.preprocess.mel.n_mel_channels
+        self.pairs = []
+        for mel, wav in pairs:
+            mel = np.asarray(mel, np.float32)
+            wav = np.asarray(wav, np.float32)
+            if mel.shape[0] < self.n_frames:
+                mel = np.pad(mel, ((0, self.n_frames - mel.shape[0]), (0, 0)),
+                             constant_values=LOG_MEL_PAD)
+            if len(wav) < self.seg:
+                wav = np.pad(wav, (0, self.seg - len(wav)))
+            self.pairs.append((mel, wav))
+        self.rng = np.random.default_rng(seed)
+
+    def sample(self, batch_size: int) -> dict[str, np.ndarray]:
+        mels = np.empty((batch_size, self.n_frames, self.n_mels), np.float32)
+        wavs = np.empty((batch_size, self.seg), np.float32)
+        idx = self.rng.integers(0, len(self.pairs), batch_size)
+        for i, j in enumerate(idx):
+            mel, wav = self.pairs[j]
+            f_max = min(mel.shape[0] - self.n_frames,
+                        (len(wav) - self.seg) // self.hop)
+            f = int(self.rng.integers(0, max(f_max, 0) + 1))
+            mels[i] = mel[f: f + self.n_frames]
+            wavs[i] = wav[f * self.hop: f * self.hop + self.seg]
+        return {"mel": mels, "wav": wavs}
+
+
+def load_paired_corpus(cfg: Config, mel_dir: str | None = None,
+                       filenames=("train.txt",)) -> list:
+    """(mel, trimmed wav) pairs for every corpus utterance.
+
+    The waveform is re-trimmed exactly as the preprocessor trimmed it
+    (TextGrid silence bounds, preprocess/preprocessor.py process_utterance),
+    so stored mel row k stays aligned to sample k·hop. ``mel_dir`` overrides
+    the mel source (e.g. a GTA export); default is the preprocessed GT mels.
+    """
+    from ..data.metadata import PreprocessedCorpus
+    from ..preprocess.preprocessor import get_alignment
+    from ..preprocess.textgrid import read_textgrid
+    from ..utils.wav import load_wav
+
+    pre = cfg.preprocess
+    corpus = PreprocessedCorpus(pre.path.preprocessed_path)
+    in_dir = os.path.join(pre.path.raw_path, pre.path.sub_dir_name)
+    sr, hop = pre.audio.sampling_rate, pre.stft.hop_length
+    pairs = []
+    for filename in filenames:
+        for utt in corpus.metadata(filename):
+            if mel_dir:
+                mel_path = os.path.join(
+                    mel_dir, f"{utt.speaker}-mel-{utt.basename}.npy")
+                if not os.path.exists(mel_path):
+                    continue
+                mel = np.load(mel_path)
+            else:
+                mel = corpus.mel(utt)
+            tg_path = os.path.join(pre.path.preprocessed_path, "TextGrid",
+                                   utt.speaker, f"{utt.basename}.TextGrid")
+            wav_path = os.path.join(in_dir, utt.speaker,
+                                    f"{utt.basename}.wav")
+            if not (os.path.exists(tg_path) and os.path.exists(wav_path)):
+                continue
+            align = get_alignment(
+                read_textgrid(tg_path).get_tier_by_name("phones"), sr, hop)
+            wav, _ = load_wav(wav_path, sr)
+            wav = wav[int(sr * align.start): int(sr * align.end)]
+            pairs.append((mel, wav.astype(np.float32)))
+    if not pairs:
+        raise FileNotFoundError("no (mel, wav) pairs found — check "
+                                "preprocessed_path/TextGrid and raw_path")
+    return pairs
+
+
+def export_gta_mels(cfg: Config, ckpt_dir: str, out_dir: str,
+                    filenames=("train.txt", "val.txt"), log=print) -> int:
+    """Teacher-forced (ground-truth-aligned) predicted mels for every
+    corpus utterance, written as ``<speaker>-mel-<basename>.npy`` — the mel
+    distribution the vocoder sees at synthesis time. Durations/pitch/energy
+    targets come from the preprocessed corpus, so predicted frames align
+    1:1 with the GT mel rows (and therefore with the trimmed waveform)."""
+    from ..config import BucketConfig
+    from ..data.dataset import BucketedDataset
+    from ..data.metadata import PreprocessedCorpus
+    from ..models.fastspeech2 import FastSpeech2
+    from .schedule import make_optimizer
+    from .state import CheckpointManager, create_train_state
+
+    corpus = PreprocessedCorpus(cfg.preprocess.path.preprocessed_path)
+    model = FastSpeech2(cfg.model, cfg.preprocess, corpus.stats)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.train.optimizer,
+                        cfg.model.transformer.encoder_hidden)
+    example = create_train_state(params, bn_state, tx, jax.random.PRNGKey(0))
+    state = CheckpointManager(ckpt_dir).restore(example)
+    log(f"GTA export from step {int(state.step)} checkpoint")
+
+    @jax.jit
+    def forward(batch):
+        out, _ = model.apply(
+            state.params, state.bn_state,
+            batch["speakers"], batch["emotions"], batch["arousals"],
+            batch["valences"], batch["texts"], batch["src_lens"],
+            max_mel_len=batch["mels"].shape[1], mel_lens=batch["mel_lens"],
+            p_targets=batch["pitches"], e_targets=batch["energies"],
+            d_targets=batch["durations"], deterministic=True)
+        return out.postnet_mel
+
+    os.makedirs(out_dir, exist_ok=True)
+    seen: set[str] = set()  # partial batches are padded by repetition
+    for filename in filenames:
+        ds = BucketedDataset(
+            corpus, filename, batch_size=8,
+            buckets=BucketConfig(), max_seq_len=cfg.model.max_seq_len,
+            symbol_table=cfg.preprocess.symbol_table)
+        for batch, examples in ds.epoch_with_examples(shuffle=False):
+            mels = np.asarray(forward(batch))
+            for i, e in enumerate(examples):
+                name = f"{e.utt.speaker}-mel-{e.utt.basename}.npy"
+                if name in seen:
+                    continue
+                seen.add(name)
+                frames = int(batch["mel_lens"][i])
+                np.save(os.path.join(out_dir, name), mels[i, :frames])
+    log(f"GTA export: {len(seen)} mels -> {out_dir}")
+    return len(seen)

@@ -268,3 +268,79 @@ def _run_resample_cli(res, tmp_path, load_wav):
     assert sr2 == 16000
     assert abs(audio.size - 16000) < 32
     np.testing.assert_allclose(np.abs(audio).max(), 0.9, atol=0.02)
+
+
+def test_gta_vocoder_finetune_path(corpus, tmp_path):
+    """The GTA recipe end-to-end at tiny scale: acoustic ckpt →
+    export_gta_mels (teacher-forced, frame-aligned with GT rows) →
+    load_paired_corpus (TextGrid-trimmed wavs) → paired GAN steps."""
+    from dataclasses import replace
+
+    from expressive_fastspeech2_mandarin_tpu.config import (
+        VocoderTrainConfig,
+    )
+    from expressive_fastspeech2_mandarin_tpu.train.loop import train
+    from expressive_fastspeech2_mandarin_tpu.train.vocoder import (
+        export_gta_mels,
+        load_paired_corpus,
+        train_vocoder,
+    )
+
+    pre_cfg, pre_dir = corpus
+    if not os.path.exists(os.path.join(pre_dir, "train.txt")):
+        Preprocessor(pre_cfg, num_workers=1).build_from_path(val_size=2)
+
+    cfg = Config(
+        preprocess=pre_cfg,
+        model=ModelConfig(
+            transformer=TransformerConfig(
+                encoder_layer=1, decoder_layer=1, encoder_hidden=32,
+                decoder_hidden=32, conv_filter_size=64,
+                encoder_head=2, decoder_head=2),
+            variance_predictor=VariancePredictorConfig(filter_size=32),
+            vocoder=VocoderConfig(
+                upsample_rates=(4, 4, 4, 4),
+                upsample_kernel_sizes=(8, 8, 8, 8),
+                upsample_initial_channel=32,
+                resblock_kernel_sizes=(3,),
+                resblock_dilation_sizes=((1, 2),)),
+            n_speakers=2, n_emotions=2, n_arousals=2, n_valences=2,
+            max_seq_len=256),
+        train=TrainConfig(
+            path=PathConfig(ckpt_path=str(tmp_path / "ckpt"),
+                            log_path=str(tmp_path / "log"),
+                            result_path=str(tmp_path / "result")),
+            optimizer=OptimizerConfig(batch_size=2, warm_up_step=10),
+            step=StepConfig(total_step=2, log_step=2, synth_step=100,
+                            val_step=100, save_step=2),
+            buckets=BucketConfig(src_buckets=(8, 16), mel_buckets=(128, 256)),
+        ),
+        vocoder_train=VocoderTrainConfig(
+            batch_size=2, segment_size=2048, mpd_periods=(2,),
+            msd_scales=1, steps_per_call=1, lr_decay_steps=10,
+            log_step=1, save_step=100),
+    )
+    train(cfg, total_steps=2)
+
+    mel_dir = str(tmp_path / "gta_mels")
+    n = export_gta_mels(cfg, str(tmp_path / "ckpt"), mel_dir,
+                        log=lambda *_: None)
+    assert n == 12
+    # frame alignment: GTA mel frames == GT mel frames per utterance
+    gt_dir = os.path.join(pre_dir, "mel")
+    for f in os.listdir(mel_dir):
+        gta = np.load(os.path.join(mel_dir, f))
+        gt = np.load(os.path.join(gt_dir, f))
+        assert gta.shape == gt.shape
+
+    pairs = load_paired_corpus(cfg, mel_dir=mel_dir,
+                               filenames=("train.txt", "val.txt"))
+    assert len(pairs) == 12
+    for mel, wav in pairs:
+        # mel row k centers at sample k*hop of the trimmed wav
+        assert abs(len(wav) // 256 + 1 - mel.shape[0]) <= 2
+
+    state = train_vocoder(cfg, None, str(tmp_path / "voc"),
+                          total_steps=2, pairs=pairs, log=lambda *_: None)
+    assert int(state.step) == 2
+    assert os.path.exists(str(tmp_path / "voc" / "generator.npz"))
