@@ -349,8 +349,14 @@ def validate_vocoder(cfg, vocoder_ckpt: str, wav_dir: str, n: int = 8,
     voc = jax.tree.map(
         lambda x: x.astype(dtype)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, voc)
-    stft = MelSTFT(cfg.preprocess.stft, cfg.preprocess.mel,
-                   cfg.preprocess.audio.sampling_rate)
+    # All DSP (mel analysis, Griffin-Lim) runs on CPU — per-shape compiles
+    # are milliseconds there, while every distinct utterance length would
+    # cost a tens-of-seconds recompile through a tunnel-attached TPU. Only
+    # the generator itself runs on the accelerator, over bucket-padded mels.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        stft_cpu = MelSTFT(cfg.preprocess.stft, cfg.preprocess.mel,
+                           cfg.preprocess.audio.sampling_rate)
     hop = cfg.preprocess.stft.hop_length
     sr = cfg.preprocess.audio.sampling_rate
 
@@ -361,28 +367,43 @@ def validate_vocoder(cfg, vocoder_ckpt: str, wav_dir: str, n: int = 8,
     gen = jax.jit(lambda p, m: apply_generator(
         p, m.astype(dtype), cfg.model.vocoder).astype(jnp.float32))
 
-    def roundtrip_l1(mel_in: jnp.ndarray, wav_out: jnp.ndarray) -> float:
-        mel_back, _ = stft.mel_energy(wav_out)
-        f = min(mel_in.shape[1], mel_back.shape[1])
-        return float(jnp.mean(jnp.abs(mel_back[:, :f] - mel_in[:, :f])))
+    def roundtrip_l1(mel_in: np.ndarray, wav_out: np.ndarray,
+                     frames: int) -> float:
+        with jax.default_device(cpu):
+            mel_back, _ = stft_cpu.mel_energy(jnp.asarray(wav_out))
+        mel_back = np.asarray(mel_back)
+        f = min(frames, mel_back.shape[1])
+        return float(np.mean(np.abs(mel_back[:, :f] - mel_in[:, :f])))
+
+    def pad_frames(mel: np.ndarray, mult: int = 256) -> np.ndarray:
+        """Pad the frame axis to a multiple of ``mult`` so ONE compiled
+        generator program serves every utterance (per-shape compiles cost
+        tens of seconds each on tunnel-attached chips)."""
+        pad = (-mel.shape[1]) % mult
+        return np.pad(mel, ((0, 0), (0, pad), (0, 0)),
+                      constant_values=np.log(1e-5)) if pad else mel
 
     out: dict = {"files": [], "vocoder_ckpt": vocoder_ckpt}
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     for k, i in enumerate(idx):
-        wav = wavs[i]
-        mel, _ = stft.mel_energy(jnp.asarray(wav)[None])
-        wav_hat = gen(voc, mel)
-        rec = {"index": int(i), "frames": int(mel.shape[1]),
-               "mel_l1_hifigan": roundtrip_l1(mel, wav_hat)}
+        wav = np.pad(wavs[i], (0, (-len(wavs[i])) % hop))
+        with jax.default_device(cpu):
+            mel_j, _ = stft_cpu.mel_energy(jnp.asarray(wav)[None])
+        frames = int(mel_j.shape[1])
+        mel = pad_frames(np.asarray(mel_j))
+        wav_hat = np.asarray(gen(voc, jnp.asarray(mel)))  # padded length
+        rec = {"index": int(i), "frames": frames,
+               "mel_l1_hifigan": roundtrip_l1(mel, wav_hat, frames)}
         if baseline:
-            with jax.default_device(jax.devices("cpu")[0]):
-                gl = stft.mel_to_audio(mel)  # (1, T)
-            rec["mel_l1_griffin_lim"] = roundtrip_l1(mel, jnp.asarray(gl))
+            with jax.default_device(cpu):
+                gl = np.asarray(stft_cpu.mel_to_audio(
+                    jnp.asarray(mel), n_iters=30))  # (1, T_padded)
+            rec["mel_l1_griffin_lim"] = roundtrip_l1(mel, gl, frames)
         out["files"].append(rec)
         if out_dir and k < 4:
             save_wav(os.path.join(out_dir, f"copysynth_{i:04d}.wav"),
-                     np.asarray(wav_hat[0]), sr)
+                     np.asarray(wav_hat[0])[: frames * hop], sr)
             save_wav(os.path.join(out_dir, f"copysynth_{i:04d}_gt.wav"),
                      wav, sr)
     l1s = [f["mel_l1_hifigan"] for f in out["files"]]

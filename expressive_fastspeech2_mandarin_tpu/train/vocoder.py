@@ -392,7 +392,18 @@ def train_vocoder(cfg: Config, wavs: list[np.ndarray] | None,
                     batch = np.stack(samples)
             else:
                 batch = sampler.sample(vcfg.batch_size)
-            state, report = step_fn(state, jax.tree.map(jnp.asarray, batch))
+            batch = jax.tree.map(jnp.asarray, batch)
+            try:
+                state, report = step_fn(state, batch)
+            except jax.errors.JaxRuntimeError as e:
+                # Same transient-dispatch retry as the acoustic loop
+                # (train/loop.py _dispatch): remote backends occasionally
+                # reject a dispatch while the async queue is deep; donated
+                # inputs are only consumed by a successful execution.
+                log(f"transient backend error ({str(e)[:80]}); "
+                    "draining queue and retrying once")
+                jax.block_until_ready(state)
+                state, report = step_fn(state, batch)
             step += spc
             if step % max(vcfg.log_step, spc) < spc:
                 rec = {"step": step, "time": time.time() - t0,
