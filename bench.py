@@ -322,14 +322,27 @@ def _train_e2e_bench(jax, total=600, measure_from=200,
 
 
 def _vocoder_train_bench(jax, steps=20, spc=10):
-    """GAN steps/s for HiFi-GAN vocoder training (full-size generator +
-    MPD/MSD, batch 16 × 8192-sample segments, bf16 amp, scan-chunked) —
-    the efs2-train-vocoder hot loop."""
+    """GAN training perf for HiFi-GAN (full generator + MPD/MSD, batch 16 ×
+    8192-sample segments, bf16 amp incl. discriminators, packed training
+    generator, scan-chunked) — the efs2-train-vocoder hot loop. Returns
+    steps/s, MFU (XLA cost analysis / step time), and the two headline
+    per-component timings from the PERF.md decomposition (generator
+    fwd+bwd, discriminator fwd+bwd over both signals)."""
     import jax.numpy as jnp
 
     from expressive_fastspeech2_mandarin_tpu.config import (
         Config,
         VocoderTrainConfig,
+    )
+    from expressive_fastspeech2_mandarin_tpu.models.hifigan import (
+        apply_generator,
+        pack_generator_params_traced,
+    )
+    from expressive_fastspeech2_mandarin_tpu.models.hifigan_disc import (
+        apply_mpd,
+        apply_msd,
+        discriminator_loss,
+        fold_weight_norm,
     )
     from expressive_fastspeech2_mandarin_tpu.train.vocoder import (
         SegmentSampler,
@@ -338,14 +351,17 @@ def _vocoder_train_bench(jax, steps=20, spc=10):
     )
 
     cfg = Config(vocoder_train=VocoderTrainConfig(
-        amp_dtype="bfloat16", steps_per_call=spc))
+        amp_dtype="bfloat16", steps_per_call=spc, packed_generator=True))
+    vcfg = cfg.vocoder_train
     state = init_vocoder_train_state(cfg)
     rng = np.random.default_rng(0)
     wavs = [rng.normal(0, 0.2, 40000).astype(np.float32) for _ in range(4)]
     sampler = SegmentSampler(cfg, wavs, seed=0)
     fn = make_vocoder_multi_step(cfg, spc)
     stacked = jnp.asarray(np.stack(
-        [sampler.sample(cfg.vocoder_train.batch_size) for _ in range(spc)]))
+        [sampler.sample(vcfg.batch_size) for _ in range(spc)]))
+    mfu = None
+    flops = _cost_flops(fn.lower(state, stacked).compile())
     state, rep = fn(state, stacked)
     jax.block_until_ready(rep)
     rounds = max(1, steps // spc)
@@ -353,7 +369,175 @@ def _vocoder_train_bench(jax, steps=20, spc=10):
     for _ in range(rounds):
         state, rep = fn(state, stacked)
     jax.block_until_ready(rep)
-    return rounds * spc / (time.perf_counter() - t0)
+    dt = (time.perf_counter() - t0) / (rounds * spc)
+    if flops:
+        mfu = (flops / spc) / dt / V5E_BF16_PEAK
+
+    # Component timings (PERF.md "Vocoder GAN step" decomposition).
+    fresh = init_vocoder_train_state(cfg)
+    b, seg = vcfg.batch_size, vcfg.segment_size
+    mel = jnp.asarray(rng.normal(-4, 2, (b, seg // 256, 80)), jnp.float32)
+    y = jnp.asarray(rng.normal(0, 0.2, (b, seg)), jnp.float32)
+
+    def cast(tree):
+        return jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                            tree)
+
+    def gen_fwd(gp, m):
+        packed = pack_generator_params_traced(
+            cast(fold_weight_norm(gp)), cfg.model.vocoder)
+        return apply_generator(packed, m.astype(jnp.bfloat16),
+                               cfg.model.vocoder,
+                               fast=True).astype(jnp.float32)
+
+    def gen_bwd(gp, m, ct):
+        _, vjp = jax.vjp(lambda p: gen_fwd(p, m), gp)
+        return vjp(ct)
+
+    def d_grad(dp, w, wg):
+        def loss(dp):
+            pr, _ = apply_mpd(dp["mpd"], w.astype(jnp.bfloat16),
+                              vcfg.mpd_periods)
+            pg, _ = apply_mpd(dp["mpd"], wg.astype(jnp.bfloat16),
+                              vcfg.mpd_periods)
+            sr, _ = apply_msd(dp["msd"], w.astype(jnp.bfloat16))
+            sg, _ = apply_msd(dp["msd"], wg.astype(jnp.bfloat16))
+            return discriminator_loss(pr, pg) + discriminator_loss(sr, sg)
+
+        return jax.grad(loss)(dp)
+
+    def timed(f, *args, iters=5):
+        out = f(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    gen_ms = timed(jax.jit(gen_bwd), fresh.gen, mel, y) * 1e3
+    disc_ms = timed(jax.jit(d_grad), {"mpd": fresh.mpd, "msd": fresh.msd},
+                    y, y + 0.01) * 1e3
+    return {"steps_per_s": round(1.0 / dt, 2),
+            "mfu": round(mfu, 4) if mfu else None,
+            "gen_fwd_bwd_ms": round(gen_ms, 1),
+            "disc_fwd_bwd_ms": round(disc_ms, 1)}
+
+
+def _stream_bench(jax, t=1000, chunk=100, hop=256, sr=22050):
+    """Streaming synthesis latency: time-to-first-audio (acoustic forward
+    + first vocoder chunk) and steady-state streaming RTF at the shipped
+    chunk size (synth/streaming.py; VERDICT r4 item 7)."""
+    import jax.numpy as jnp
+
+    from expressive_fastspeech2_mandarin_tpu.config import Config
+    from expressive_fastspeech2_mandarin_tpu.models import (
+        FastSpeech2,
+        init_generator,
+    )
+    from expressive_fastspeech2_mandarin_tpu.models.hifigan import (
+        pack_generator_params,
+    )
+    from expressive_fastspeech2_mandarin_tpu.synth.streaming import (
+        vocode_streaming,
+    )
+
+    cfg = Config()
+    model = FastSpeech2(cfg.model, cfg.preprocess)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    voc = pack_generator_params(
+        init_generator(jax.random.PRNGKey(1), cfg.model.vocoder),
+        cfg.model.vocoder, fused=True, fused_stages=(0,))
+    voc = jax.tree.map(lambda x: x.astype(jnp.bfloat16), voc)
+
+    rng = np.random.default_rng(0)
+    s = 64
+    durations = np.full((1, s), t // s, np.int32)
+    args = (jnp.asarray([3]), jnp.asarray([1]), jnp.asarray([2]),
+            jnp.asarray([3]),
+            jnp.asarray(rng.integers(4, 107, (1, s)).astype(np.int32)),
+            jnp.asarray([s]))
+    d_t = jnp.asarray(durations)
+    mel_lens = jnp.asarray(durations.sum(1).astype(np.int32))
+
+    @jax.jit
+    def acoustic(params, bn_state, d_t, mel_lens, *args):
+        out, _ = model.apply(params, bn_state, *args, max_mel_len=t,
+                             mel_lens=mel_lens, d_targets=d_t,
+                             deterministic=True)
+        return out.postnet_mel
+
+    def run():
+        t0 = time.perf_counter()
+        mel = acoustic(params, bn_state, d_t, mel_lens, *args)
+        first_dt = total = None
+        n = 0
+        for i, w in enumerate(vocode_streaming(
+                voc, mel.astype(jnp.bfloat16), cfg.model.vocoder,
+                chunk_frames=chunk)):
+            jax.block_until_ready(w)
+            if i == 0:
+                first_dt = time.perf_counter() - t0
+            n += w.shape[-1]
+        total = time.perf_counter() - t0
+        return first_dt, total, n
+
+    run()  # compile both chunk programs
+    firsts, totals, n = [], [], 0
+    for _ in range(3):
+        f, tot, n = run()
+        firsts.append(f)
+        totals.append(tot)
+    audio_s = n / sr
+    return {"first_audio_ms": round(min(firsts) * 1e3, 1),
+            "rtf": round(min(totals) / audio_s, 5),
+            "chunk_frames": chunk}
+
+
+def _host_feed_bench(jax, batches=150, batch_size=32):
+    """Host-side data pipeline alone (BucketedDataset iteration + collate +
+    int16 transfer quantization, NO device work): samples/s one host feeds.
+    A pod deployment starves when global batch × target steps/s exceeds
+    this × n_hosts (VERDICT r4 item 8; PERF.md 'Feeding the chip')."""
+    import shutil
+    import tempfile
+
+    from expressive_fastspeech2_mandarin_tpu.config import BucketConfig
+    from expressive_fastspeech2_mandarin_tpu.data import (
+        BucketedDataset,
+        PreprocessedCorpus,
+    )
+
+    work = tempfile.mkdtemp(prefix="efs2_feed_")
+    try:
+        _write_bench_corpus(work, n_train=512, n_val=8)
+        ds = BucketedDataset(
+            PreprocessedCorpus(work), "train.txt", batch_size,
+            BucketConfig(src_buckets=(64,), mel_buckets=(500,)),
+            2000, drop_last=True, seed=0)
+
+        def stream():
+            ep = 0
+            while True:
+                yield from ds.epoch(ep)
+                ep += 1
+
+        it = stream()
+        next(it)  # touch lazily-opened files before timing
+        n = 0
+        t0 = time.perf_counter()
+        for _ in range(batches):
+            b = next(it)
+            m = b["mels"]
+            lo = m.min(axis=(1, 2))
+            hi = m.max(axis=(1, 2))
+            scale = np.maximum((hi - lo) / 65535.0, 1e-12)
+            np.rint((m - lo[:, None, None]) / scale[:, None, None])
+            n += m.shape[0]
+        return round(n / (time.perf_counter() - t0), 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main():
@@ -376,9 +560,17 @@ def main():
         jax, steps=20, b=32, measure_single=False, amp="bfloat16")
     audio_s_per_s, rtf, gen_dt, synth_mfu = _synth_bench(jax)
     try:
-        voc_train_steps_per_s = round(_vocoder_train_bench(jax), 2)
+        voc_train = _vocoder_train_bench(jax)
     except Exception:
-        voc_train_steps_per_s = None
+        voc_train = None
+    try:
+        stream = _stream_bench(jax)
+    except Exception:
+        stream = None
+    try:
+        host_feed = _host_feed_bench(jax)
+    except Exception:
+        host_feed = None
     e2e = _train_e2e_bench(jax)
     # Compute-only reference in the SAME tunnel phase as the e2e windows.
     compute_ref = burst()
@@ -401,7 +593,17 @@ def main():
             "synth_rtf": round(rtf, 5),
             "synth_generator_ms": round(gen_dt * 1e3, 1),
             "synth_mfu": (round(synth_mfu, 4) if synth_mfu else None),
-            "vocoder_train_steps_per_s": voc_train_steps_per_s,
+            "vocoder_train_steps_per_s": (voc_train["steps_per_s"]
+                                          if voc_train else None),
+            "vocoder_train_mfu": voc_train["mfu"] if voc_train else None,
+            "vocoder_train_components_ms": (
+                {k: voc_train[k] for k in ("gen_fwd_bwd_ms",
+                                           "disc_fwd_bwd_ms")}
+                if voc_train else None),
+            "stream_first_audio_ms": (stream["first_audio_ms"]
+                                      if stream else None),
+            "stream_rtf": stream["rtf"] if stream else None,
+            "host_feed_samples_per_s": host_feed,
             "backend": backend,
             "synth_config": "batch 8 x 1000 mel frames, FastSpeech2 + HiFi-GAN",
         },

@@ -68,7 +68,9 @@ def collect_segments(work_dir: str):
 
 
 def build(out_dir: str, n_utts: int, n_speakers: int, seed: int,
-          snr_db: float = 30.0, phones_per_utt=(8, 16)):
+          snr_db: float = 30.0, phones_per_utt=(8, 16),
+          gain_jitter: float = 0.0, stretch_jitter: float = 0.0,
+          dataset: str | None = None):
     from expressive_fastspeech2_mandarin_tpu.utils.wav import (
         resample,
         save_wav,
@@ -78,6 +80,7 @@ def build(out_dir: str, n_utts: int, n_speakers: int, seed: int,
     work = os.path.join(out_dir, "_segments_work")
     segments = collect_segments(work)
     emotions = list(EMOTION_STYLE)
+    dataset = dataset or os.path.basename(os.path.normpath(out_dir))
     speakers = [f"{i + 1:04d}" for i in range(n_speakers)]
     spk_gain = 0.45 + 0.25 * rng.random(n_speakers)
 
@@ -98,9 +101,19 @@ def build(out_dir: str, n_utts: int, n_speakers: int, seed: int,
         labels = []
         for j, k in enumerate(idx):
             p, x = segments[k]
-            if stretch != 1.0:
+            st = stretch
+            if stretch_jitter > 0.0:
+                # Per-segment duration jitter (endurance corpus): duration
+                # targets vary per instance, so the val split cannot be
+                # predicted by memorizing a fixed per-phone duration.
+                st *= 1.0 + rng.uniform(-stretch_jitter, stretch_jitter)
+            if st != 1.0:
                 # Time-stretch by resampling: emotion-dependent duration.
-                x = resample(x, SR, int(round(SR * stretch)))
+                x = resample(x, SR, int(round(SR * st)))
+            if gain_jitter > 0.0:
+                # Per-segment energy jitter, lognormal around the emotion
+                # gain — same purpose for the energy/pitch targets.
+                x = x * float(np.exp(rng.normal(0.0, gain_jitter)))
             parts.append(x)
             labels.append(p)
             if j + 1 < n_ph and rng.random() < 0.25:
@@ -120,7 +133,7 @@ def build(out_dir: str, n_utts: int, n_speakers: int, seed: int,
         with open(os.path.join(spk_dir, base + ".lab"), "w") as f:
             f.write(text + "\n")
         aro, val = EMOTION_AROUSAL_VALENCE[emotion]
-        filelist.append("|".join([base, text, spk, "Pipeline-Concat-ZH",
+        filelist.append("|".join([base, text, spk, dataset,
                                   "default", emotion, aro, val]))
         phone_set.update(labels)
         total_s += len(wav) / SR
@@ -139,7 +152,7 @@ def build(out_dir: str, n_utts: int, n_speakers: int, seed: int,
     # Internal gap silences survive the edge trim as "sp" phones in the
     # alignment, so the silence symbols must be encodable.
     with open(os.path.join(out_dir, "symbols.json"), "w") as f:
-        json.dump({"name": "pipeline-concat-zh",
+        json.dump({"name": dataset.lower(),
                    "phonemes": sorted(phone_set | {"sp", "sil", "spn"}),
                    "prefix": ""}, f, indent=1)
     shutil.rmtree(work, ignore_errors=True)
@@ -154,9 +167,16 @@ def main():
     ap.add_argument("--n-utts", type=int, default=360)
     ap.add_argument("--speakers", type=int, default=6)
     ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--gain-jitter", type=float, default=0.0,
+                    help="per-segment lognormal gain jitter sigma "
+                         "(endurance corpus: 0.12)")
+    ap.add_argument("--stretch-jitter", type=float, default=0.0,
+                    help="per-segment uniform duration jitter fraction "
+                         "(endurance corpus: 0.06)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    build(args.out, args.n_utts, args.speakers, args.seed)
+    build(args.out, args.n_utts, args.speakers, args.seed,
+          gain_jitter=args.gain_jitter, stretch_jitter=args.stretch_jitter)
 
 
 if __name__ == "__main__":

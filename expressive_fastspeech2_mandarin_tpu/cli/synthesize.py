@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--duration_control", type=float, default=1.0)
     ap.add_argument("--output_name", default=None)
     ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--save_mel", action="store_true",
+                    help="also save the predicted mel as <name>_mel.npy "
+                         "(parity drills, vocoder A/B tests)")
     ap.add_argument("--stream_chunk_frames", type=int, default=0,
                     help="single mode: >0 streams the vocoder in chunks of "
                          "this many mel frames (incremental wav write)")
@@ -109,7 +112,7 @@ def main() -> None:
                 basenames=[u.basename for u in chunk],
                 vocoder=args.vocoder, **controls)
 
-    paths = synth.save_results(results, out_dir)
+    paths = synth.save_results(results, out_dir, save_mel=args.save_mel)
     for p in paths:
         print(p)
 

@@ -152,6 +152,20 @@ class ModelConfig:
     # scaled by *p_control*, not e_control (reference: model/modules.py:122-126).
     # Set False for the corrected behavior.
     replicate_energy_control_bug: bool = True
+    # Padding-inert numerics (TPU-first): zero padded positions before every
+    # conv consumer (variance predictors, postnet) so bucket-padded runs are
+    # bit-equal to exact-length runs — and therefore to the reference's
+    # single-utterance inference scripts, which always run unpadded
+    # (synthesize_chinese_pinyin.py:132-154). The reference's own padded
+    # BATCHES leak speaker/emotion conditioning and mel-linear biases into
+    # conv edges (model/fastspeech2.py:101-110 adds conditioning at padded
+    # positions; modules.py VariancePredictor masks only its output), making
+    # its outputs depend on batch composition. Set False to replicate that
+    # padded-batch behavior exactly (the torch-oracle parity tests do).
+    # Guarantee applies to deterministic/inference mode; in training mode
+    # the postnet's BatchNorm batch statistics still span padded rows, as
+    # the reference's do.
+    padding_inert: bool = True
 
 
 @dataclass(frozen=True)
@@ -269,6 +283,11 @@ class VocoderTrainConfig:
     msd_scales: int = 3
     seed: int = 1234
     amp_dtype: str = "float32"  # "bfloat16": bf16 convs, f32 losses/masters
+    # Fold+pack the weight-norm generator inside the jitted step and run
+    # the block-polyphase fast path during training (measured opt-in: see
+    # PERF.md "Vocoder GAN step"). Exact same layouts as inference packing;
+    # numerics differ from the plain path only by float round-off.
+    packed_generator: bool = False
     steps_per_call: int = 1  # optimizer steps per host dispatch (lax.scan)
     total_step: int = 400000
     log_step: int = 100
@@ -370,6 +389,9 @@ def model_config_from_dict(d: dict[str, Any], **overrides) -> ModelConfig:
         multi_speaker=d.get("multi_speaker", True),
         multi_emotion=d.get("multi_emotion", True),
         max_seq_len=d.get("max_seq_len", 2000),
+        replicate_energy_control_bug=d.get(
+            "replicate_energy_control_bug", True),
+        padding_inert=d.get("padding_inert", True),
         vocoder=VocoderConfig(
             model=vo.get("model", "HiFi-GAN"),
             speaker=vo.get("speaker", "universal"),

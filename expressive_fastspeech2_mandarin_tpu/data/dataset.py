@@ -130,6 +130,19 @@ class BucketedDataset:
             return batches  # every host sees the full list; rows sliced in _collate
         return batches[self.shard_index:: self.num_shards]
 
+    def host_rows(self, epoch: int = 0, shuffle: bool = True) -> list[str]:
+        """Basenames of the rows THIS host collates in ``epoch`` order —
+        row-shard diagnostics (per-host disjointness/coverage; the
+        multi-host feed-rate guard in tests/test_distributed.py)."""
+        out = []
+        for batch in self._batches(epoch, shuffle):
+            if self.shard_rows and self.num_shards > 1:
+                rows = len(batch) // self.num_shards
+                batch = batch[self.shard_index * rows:
+                              (self.shard_index + 1) * rows]
+            out += [e.utt.basename for e in batch]
+        return out
+
     def _collate(self, batch: list[Example]) -> dict[str, np.ndarray]:
         # Bucket shapes come from the FULL (global) batch so all hosts agree
         # on static shapes even when each collates only its own row slice.

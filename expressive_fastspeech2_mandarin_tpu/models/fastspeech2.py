@@ -182,6 +182,11 @@ class FastSpeech2:
             lin = params["emotion_linear"]
             emb = jax.nn.relu(emb @ lin["w"] + lin["b"])
             x = x + emb[:, None, :]
+        if cfg.padding_inert:
+            # Zero the conditioning at padded positions so the variance
+            # predictors' convs see the same implicit zeros an exact-length
+            # run would (see ModelConfig.padding_inert).
+            x = jnp.where(src_masks[..., None], 0.0, x)
 
         (frames, p_pred, e_pred, log_d_pred, d_rounded, mel_lens_out,
          mel_masks) = apply_variance_adaptor(
@@ -203,8 +208,14 @@ class FastSpeech2:
             deterministic=deterministic, rng=rngs["dec"])
 
         mel = frames @ params["mel_linear"]["w"] + params["mel_linear"]["b"]
+        if cfg.padding_inert and mel_masks is not None:
+            # Padded mel rows would otherwise hold the mel-linear bias and
+            # leak into the postnet's conv edges (radius 10 at k=5 × 5
+            # layers); zero them so bucketed == exact-length numerics.
+            mel = jnp.where(mel_masks[..., None], 0.0, mel)
         residual, new_bn = apply_postnet(
             params["postnet"], state["postnet"], mel,
+            mask=mel_masks if cfg.padding_inert else None,
             deterministic=deterministic, rng=rngs["post"])
         postnet_mel = mel + residual
 

@@ -86,6 +86,79 @@ def _stage_lam(ch: int) -> int:
     return 128 // ch if (ch < 128 and 128 % ch == 0) else 1
 
 
+def _pack_conv_weight_traced(kernel: jnp.ndarray, dilation: int, lam: int):
+    """jit-traceable :func:`_pack_conv_weight`: identical layout, built with
+    ONE scatter-add from a static index map (fine to trace — unlike the
+    per-tap Python scatter loop this compiles to a single XLA scatter), so
+    the training step can pack folded weight-norm kernels inside jit. The
+    scatter's transpose is a gather, so it is cheaply differentiable."""
+    k, c_in, c_out = kernel.shape
+    center = (k - 1) // 2
+    rows = []  # (bi, j_in, j, i)
+    betas = [((i - center) * dilation + j) // lam
+             for j in range(lam) for i in range(k)]
+    beta_min, beta_max = min(betas), max(betas)
+    for j in range(lam):
+        for i in range(k):
+            s = (i - center) * dilation + j
+            rows.append((s // lam - beta_min, s % lam, j, i))
+    bi, j_in, j, i = (np.asarray(x) for x in zip(*rows))
+    kb = beta_max - beta_min + 1
+    packed = jnp.zeros((kb, lam, c_in, lam, c_out), kernel.dtype)
+    packed = packed.at[bi, j_in, :, j, :].add(kernel[i])
+    return packed.reshape(kb, lam * c_in, lam * c_out)
+
+
+def _pack_transposed_conv_traced(kernel: jnp.ndarray,
+                                 stride: int) -> jnp.ndarray:
+    """jit-traceable :func:`_pack_transposed_conv` (same contract)."""
+    k, c_in, c_out = kernel.shape
+    u = stride
+    assert k == 2 * u and u % 2 == 0
+    rows = []  # (dt+1, r, tau)
+    for r in range(u):
+        for dt in ((-1, 0) if r < u // 2 else (0, 1)):
+            rows.append((dt + 1, r, r + u // 2 - u * dt))
+    d, r, tau = (np.asarray(x) for x in zip(*rows))
+    packed = jnp.zeros((3, c_in, u, c_out), kernel.dtype)
+    packed = packed.at[d, :, r, :].set(kernel[tau])
+    return packed.reshape(3, c_in, u * c_out)
+
+
+def pack_generator_params_traced(params: Params,
+                                 cfg: VocoderConfig) -> Params:
+    """jit-traceable :func:`pack_generator_params` (polyphase + packed MRF
+    layouts only — no Pallas fused taps, whose kernel has no vjp): lets the
+    vocoder TRAINING step fold weight norm and pack inside the jitted step
+    each iteration, running the measured fast generator path. Numerics are
+    identical to the numpy packer (tested in tests/test_vocoder_fast.py)."""
+    params = dict(params)
+    params["resblocks"] = [dict(rb) for rb in params["resblocks"]]
+    params["ups"] = [dict(up) for up in params["ups"]]
+    for up, u, k in zip(params["ups"], cfg.upsample_rates,
+                        cfg.upsample_kernel_sizes):
+        if k == 2 * u and u % 2 == 0:
+            up["kernel_poly"] = _pack_transposed_conv_traced(up["kernel"], u)
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        lam = _stage_lam(ch)
+        if lam == 1:
+            continue
+        for j in range(num_kernels):
+            rb = params["resblocks"][i * num_kernels + j]
+            dil = cfg.resblock_dilation_sizes[j]
+            rb["convs1"] = [dict(c) for c in rb["convs1"]]
+            rb["convs2"] = [dict(c) for c in rb["convs2"]]
+            for conv, d in zip(rb["convs1"], dil):
+                conv["kernel_packed"] = _pack_conv_weight_traced(
+                    conv["kernel"], d, lam)
+            for conv in rb["convs2"]:
+                conv["kernel_packed"] = _pack_conv_weight_traced(
+                    conv["kernel"], 1, lam)
+    return params
+
+
 def _pack_transposed_conv(kernel: np.ndarray, stride: int) -> np.ndarray:
     """(K=2u, Cin, Cout) ConvTranspose1d kernel → (3, Cin, u·Cout) plain-conv
     kernel computing all u output phases per input step.

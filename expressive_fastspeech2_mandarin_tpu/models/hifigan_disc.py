@@ -131,8 +131,13 @@ def fold_weight_norm(params: Params) -> Params:
 
 
 def _wn_conv1d(x, p, **kw):
+    # Kernel follows the input dtype: feeding bf16 waveforms runs the
+    # discriminator convs in bf16 (weight-norm statistics stay f32 inside
+    # wn_kernel; master params and losses stay f32 in the train step).
     kernel = wn_kernel(p) if _is_wn(p) else p["kernel"]
-    return conv1d(x, kernel, p["bias"], **kw)
+    if kernel.dtype != x.dtype:
+        kernel = kernel.astype(x.dtype)
+    return conv1d(x, kernel, p["bias"].astype(x.dtype), **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -258,8 +263,10 @@ def apply_msd(params: Params, wav: jnp.ndarray):
 
 
 def discriminator_loss(real_logits, fake_logits):
+    # Losses reduce in f32 even when the conv stack ran in bf16.
     loss = 0.0
     for dr, dg in zip(real_logits, fake_logits):
+        dr, dg = dr.astype(jnp.float32), dg.astype(jnp.float32)
         loss = loss + jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
     return loss
 
@@ -267,7 +274,7 @@ def discriminator_loss(real_logits, fake_logits):
 def generator_adv_loss(fake_logits):
     loss = 0.0
     for dg in fake_logits:
-        loss = loss + jnp.mean((1.0 - dg) ** 2)
+        loss = loss + jnp.mean((1.0 - dg.astype(jnp.float32)) ** 2)
     return loss
 
 
@@ -275,5 +282,6 @@ def feature_matching_loss(real_fmaps, fake_fmaps):
     loss = 0.0
     for sub_r, sub_g in zip(real_fmaps, fake_fmaps):
         for fr, fg in zip(sub_r, sub_g):
-            loss = loss + jnp.mean(jnp.abs(fr - fg))
+            loss = loss + jnp.mean(
+                jnp.abs(fr.astype(jnp.float32) - fg.astype(jnp.float32)))
     return 2.0 * loss

@@ -57,10 +57,16 @@ def apply_postnet(
     x: jnp.ndarray,
     *,
     kernel_size: int = 5,
+    mask: jnp.ndarray | None = None,
     deterministic: bool = True,
     rng=None,
 ) -> tuple[jnp.ndarray, Params]:
-    """(B, T, n_mels) → (B, T, n_mels) residual; returns updated bn state."""
+    """(B, T, n_mels) → (B, T, n_mels) residual; returns updated bn state.
+
+    ``mask`` (True at padded frames, ModelConfig.padding_inert): each
+    layer's output is zeroed at padded rows so the next conv sees the
+    implicit zeros an exact-length run would — bucketed numerics equal
+    unpadded numerics."""
     pad = (kernel_size - 1) // 2
     new_state = []
     n = len(params["convs"])
@@ -80,4 +86,6 @@ def apply_postnet(
             sub = jax.random.fold_in(rng, i)
             keep = jax.random.bernoulli(sub, 0.5, x.shape)
             x = jnp.where(keep, x / 0.5, 0.0)
+        if mask is not None:
+            x = jnp.where(mask[..., None], 0.0, x)
     return x, {"convs": new_state}

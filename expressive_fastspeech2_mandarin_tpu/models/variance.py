@@ -52,12 +52,20 @@ def apply_variance_predictor(
     dropout: float = 0.5,
     deterministic: bool = True,
     rng=None,
+    inert: bool = False,
 ) -> jnp.ndarray:
-    """(B, T, D) → (B, T) scalar predictions, zeroed at padding."""
+    """(B, T, D) → (B, T) scalar predictions, zeroed at padding.
+
+    ``inert``: zero the hidden activations at padded positions between the
+    two convs, so conv2 sees the implicit zeros an exact-length run would
+    (ModelConfig.padding_inert; the reference masks only the output,
+    modules.py:247-249)."""
     h = conv1d(x, params["conv1"]["kernel"], params["conv1"]["bias"],
                padding=(k - 1) // 2)
     h = jax.nn.relu(h)
     h = layer_norm(h, params["ln1"]["g"], params["ln1"]["b"])
+    if inert:
+        h = jnp.where(pad_mask[..., None], 0.0, h)
     if not deterministic:
         rng, sub = jax.random.split(rng)
         keep = jax.random.bernoulli(sub, 1.0 - dropout, h.shape)
@@ -138,6 +146,7 @@ def apply_variance_adaptor(
         return apply_variance_predictor(
             params[name], inp, mask, vp_k,
             dropout=vp_drop, deterministic=deterministic, rng=sub,
+            inert=cfg.padding_inert,
         )
 
     def variance_embed(name, prediction, target, control, bins):
@@ -146,6 +155,12 @@ def apply_variance_adaptor(
         scaled = prediction * control
         return scaled, params[name][bucketize(scaled, bins)]
 
+    def inert(v, mask):
+        # padding_inert: keep padded positions at zero after every embedding
+        # add, so downstream convs (energy predictor, frame-level
+        # predictors) see exact-length implicit zeros (ModelConfig note).
+        return jnp.where(mask[..., None], 0.0, v) if cfg.padding_inert else v
+
     log_d_pred = predictor("duration_predictor", x, src_mask, 0)
 
     p_pred = e_pred = None
@@ -153,13 +168,13 @@ def apply_variance_adaptor(
         p_pred, p_emb = variance_embed(
             "pitch_embedding", predictor("pitch_predictor", x, src_mask, 1),
             pitch_target, p_control, consts["pitch_bins"])
-        x = x + p_emb
+        x = inert(x + p_emb, src_mask)
     if energy_feature_level == "phoneme_level":
         e_ctl = p_control if cfg.replicate_energy_control_bug else e_control
         e_pred, e_emb = variance_embed(
             "energy_embedding", predictor("energy_predictor", x, src_mask, 2),
             energy_target, e_ctl, consts["energy_bins"])
-        x = x + e_emb
+        x = inert(x + e_emb, src_mask)
 
     if duration_target is not None:
         frames, mel_lens = length_regulate(x, duration_target, max_mel_len)
@@ -172,16 +187,20 @@ def apply_variance_adaptor(
         frames, mel_lens = length_regulate(x, d_rounded, max_mel_len)
         mel_mask = mask_from_lengths(mel_lens, max_mel_len)
 
+    if "frame_level" in (pitch_feature_level, energy_feature_level):
+        # Length-regulated padded rows gather from the clamped last phone;
+        # zero them before any frame-level predictor conv reads them.
+        frames = inert(frames, mel_mask)
     if pitch_feature_level == "frame_level":
         p_pred, p_emb = variance_embed(
             "pitch_embedding", predictor("pitch_predictor", frames, mel_mask, 3),
             pitch_target, p_control, consts["pitch_bins"])
-        frames = frames + p_emb
+        frames = inert(frames + p_emb, mel_mask)
     if energy_feature_level == "frame_level":
         e_ctl = p_control if cfg.replicate_energy_control_bug else e_control
         e_pred, e_emb = variance_embed(
             "energy_embedding", predictor("energy_predictor", frames, mel_mask, 4),
             energy_target, e_ctl, consts["energy_bins"])
-        frames = frames + e_emb
+        frames = inert(frames + e_emb, mel_mask)
 
     return frames, p_pred, e_pred, log_d_pred, d_rounded, mel_lens, mel_mask

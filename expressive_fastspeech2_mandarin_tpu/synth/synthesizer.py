@@ -345,7 +345,8 @@ class Synthesizer:
                 yield wav[:take]
 
     def save_results(self, results: list[SynthesisResult], out_dir: str,
-                     tag: str | None = None) -> list[str]:
+                     tag: str | None = None,
+                     save_mel: bool = False) -> list[str]:
         os.makedirs(out_dir, exist_ok=True)
         paths = []
         for r in results:
@@ -353,4 +354,6 @@ class Synthesizer:
             p = os.path.join(out_dir, name)
             save_wav(p, r.wav, r.sampling_rate)
             paths.append(p)
+            if save_mel:
+                np.save(p[:-4] + "_mel.npy", r.mel)
         return paths

@@ -26,8 +26,20 @@ TPU-native structure:
   update (stop-gradient) and the generator cotangents are pulled back
   through ``vjp`` after the discriminator step — no second forward.
 * **Losses and weight-norm statistics in f32**, convs optionally bf16
-  (``vocoder_train.amp_dtype``); on-device ``lax.scan`` chunking via
+  (``vocoder_train.amp_dtype``, applied to the generator AND the
+  discriminator convs); on-device ``lax.scan`` chunking via
   ``steps_per_call`` like the acoustic loop.
+
+Known deviations from the published recipe (both self-consistent —
+applied identically to real and generated audio):
+
+* The mel L1 loss frames each segment with the Tacotron center-style
+  reflect padding of n_fft/2 (33 frames per 8192-sample segment) rather
+  than the recipe's (n_fft-hop)/2 constant pad with center=False
+  (32 frames) — the same convention the generator's *input* mels use, so
+  segment loss rows match full-utterance preprocessor rows bit-exactly.
+* The first MSD scale uses weight norm, not spectral norm (see
+  models/hifigan_disc.py).
 """
 
 from __future__ import annotations
@@ -158,6 +170,62 @@ def logmel_from_context(context: jnp.ndarray, stft: MelSTFT,
     return jnp.log(jnp.clip(mag @ stft.mel_basis.T, min=1e-5))
 
 
+def _make_mel_fns(cfg: Config):
+    """(generator-input MelSTFT, full-band loss-mel-of-segment fn)."""
+    pre = cfg.preprocess
+    # Generator-input mel: the acoustic band (what FastSpeech2 predicts).
+    mel_in = MelSTFT(pre.stft, pre.mel, pre.audio.sampling_rate)
+    # Loss mel: full band (hifigan/config.json fmax_for_loss: null).
+    mel_loss = MelSTFT(
+        pre.stft,
+        MelConfig(n_mel_channels=pre.mel.n_mel_channels,
+                  mel_fmin=0.0, mel_fmax=None),
+        pre.audio.sampling_rate)
+
+    def loss_mel_of_wav(wav: jnp.ndarray) -> jnp.ndarray:
+        """Loss mel of a bare (B, seg) segment (symmetric for y and ŷ)."""
+        frames = mel_loss.frame(wav) * mel_loss.window[None, None, :]
+        mag = jnp.abs(jnp.fft.rfft(frames, axis=-1)).astype(jnp.float32)
+        return jnp.log(jnp.clip(mag @ mel_loss.mel_basis.T, min=1e-5))
+
+    return mel_in, loss_mel_of_wav
+
+
+def make_vocoder_val_step(cfg: Config, paired: bool = False):
+    """Jitted copy-synthesis validation: generator-only full-band mel L1
+    over one batch (no discriminators) — the periodic check wired to
+    ``vocoder_train.val_step`` (same metric family as
+    ``efs2-validate vocoder``)."""
+    vcfg = cfg.vocoder_train
+    pre = cfg.preprocess
+    half = pre.stft.filter_length // 2
+    seg = vcfg.segment_size
+    n_frames = seg // pre.stft.hop_length
+    amp = jnp.dtype(vcfg.amp_dtype)
+    mel_in, loss_mel_of_wav = _make_mel_fns(cfg)
+
+    @jax.jit
+    def val_step(gen_params, batch):
+        if paired:
+            mel = batch["mel"].astype(jnp.float32)
+            y = batch["wav"].astype(jnp.float32)
+        else:
+            context = batch.astype(jnp.float32)
+            mel = logmel_from_context(context, mel_in, n_frames)
+            y = context[:, half: half + seg]
+        folded = fold_weight_norm(gen_params)
+        if amp != jnp.float32:
+            folded = jax.tree.map(
+                lambda x: x.astype(amp)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, folded)
+            mel = mel.astype(amp)
+        wav = apply_generator(folded, mel, cfg.model.vocoder,
+                              fast=False).astype(jnp.float32)
+        return jnp.mean(jnp.abs(loss_mel_of_wav(y) - loss_mel_of_wav(wav)))
+
+    return val_step
+
+
 def make_vocoder_train_step(cfg: Config, donate: bool = True,
                             paired: bool = False):
     """Returns jitted ``step(state, batch) -> (state, VocoderLossReport)``.
@@ -180,21 +248,12 @@ def make_vocoder_train_step(cfg: Config, donate: bool = True,
     n_frames = seg // hop
     amp = jnp.dtype(vcfg.amp_dtype)
     tx_g, tx_d = make_vocoder_optimizers(cfg)
-
-    # Generator-input mel: the acoustic band (what FastSpeech2 predicts).
-    mel_in = MelSTFT(pre.stft, pre.mel, pre.audio.sampling_rate)
-    # Loss mel: full band (hifigan/config.json fmax_for_loss: null).
-    mel_loss = MelSTFT(
-        pre.stft,
-        MelConfig(n_mel_channels=pre.mel.n_mel_channels,
-                  mel_fmin=0.0, mel_fmax=None),
-        pre.audio.sampling_rate)
-
-    def loss_mel_of_wav(wav: jnp.ndarray) -> jnp.ndarray:
-        """Loss mel of a bare (B, seg) segment (symmetric for y and ŷ)."""
-        frames = mel_loss.frame(wav) * mel_loss.window[None, None, :]
-        mag = jnp.abs(jnp.fft.rfft(frames, axis=-1)).astype(jnp.float32)
-        return jnp.log(jnp.clip(mag @ mel_loss.mel_basis.T, min=1e-5))
+    mel_in, loss_mel_of_wav = _make_mel_fns(cfg)
+    # Discriminator convs run in amp too (f32 weight-norm statistics, f32
+    # losses): measured 1.74× full-step speedup at bf16 — see PERF.md
+    # "Vocoder GAN step". The wav fed to MPD/MSD carries the amp dtype;
+    # _wn_conv1d casts each kernel to the input dtype.
+    d_wav = (lambda w: w.astype(amp)) if amp != jnp.float32 else (lambda w: w)
 
     def cast(tree, dtype):
         return jax.tree.map(
@@ -206,7 +265,13 @@ def make_vocoder_train_step(cfg: Config, donate: bool = True,
         if amp != jnp.float32:
             folded = cast(folded, amp)
             mel = mel.astype(amp)
-        wav = apply_generator(folded, mel, cfg.model.vocoder, fast=False)
+        if vcfg.packed_generator:
+            from ..models.hifigan import pack_generator_params_traced
+
+            folded = pack_generator_params_traced(folded, cfg.model.vocoder)
+            wav = apply_generator(folded, mel, cfg.model.vocoder, fast=True)
+        else:
+            wav = apply_generator(folded, mel, cfg.model.vocoder, fast=False)
         return wav.astype(jnp.float32)
 
     def train_step(state: VocoderTrainState, batch):
@@ -223,12 +288,14 @@ def make_vocoder_train_step(cfg: Config, donate: bool = True,
             lambda p: gen_forward(p, mel), state.gen)
         y_g_sg = jax.lax.stop_gradient(y_g)
 
+        y_d, y_g_d = d_wav(y), d_wav(y_g_sg)
+
         # -- discriminator update (real vs detached fake) --
         def d_loss_fn(d_params):
-            pr, _ = apply_mpd(d_params["mpd"], y, vcfg.mpd_periods)
-            pg, _ = apply_mpd(d_params["mpd"], y_g_sg, vcfg.mpd_periods)
-            sr, _ = apply_msd(d_params["msd"], y)
-            sg, _ = apply_msd(d_params["msd"], y_g_sg)
+            pr, _ = apply_mpd(d_params["mpd"], y_d, vcfg.mpd_periods)
+            pg, _ = apply_mpd(d_params["mpd"], y_g_d, vcfg.mpd_periods)
+            sr, _ = apply_msd(d_params["msd"], y_d)
+            sg, _ = apply_msd(d_params["msd"], y_g_d)
             return discriminator_loss(pr, pg) + discriminator_loss(sr, sg)
 
         d_params = {"mpd": state.mpd, "msd": state.msd}
@@ -239,10 +306,10 @@ def make_vocoder_train_step(cfg: Config, donate: bool = True,
 
         # -- generator losses against the UPDATED discriminator --
         def g_loss_of_wav(wav):
-            _pr, fr = apply_mpd(new_mpd, y, vcfg.mpd_periods)
-            pg, fg = apply_mpd(new_mpd, wav, vcfg.mpd_periods)
-            _sr, gr = apply_msd(new_msd, y)
-            sg, gg = apply_msd(new_msd, wav)
+            _pr, fr = apply_mpd(new_mpd, y_d, vcfg.mpd_periods)
+            pg, fg = apply_mpd(new_mpd, d_wav(wav), vcfg.mpd_periods)
+            _sr, gr = apply_msd(new_msd, y_d)
+            sg, gg = apply_msd(new_msd, d_wav(wav))
             adv = generator_adv_loss(pg) + generator_adv_loss(sg)
             fm = (feature_matching_loss(fr, fg)
                   + feature_matching_loss(gr, gg))
@@ -373,10 +440,22 @@ def train_vocoder(cfg: Config, wavs: list[np.ndarray] | None,
     if ckpt.latest_step() is not None:
         state = VocoderTrainState(**ckpt.restore_dict(state._asdict()))
         log(f"restored vocoder step {int(state.step)}")
-    sampler = (PairedSegmentSampler(cfg, pairs, seed=vcfg.seed) if paired
-               else SegmentSampler(cfg, wavs, seed=vcfg.seed))
+    # Fold the restored step into the sampler seed: a resumed run draws a
+    # fresh segment stream instead of replaying the sequence the restored
+    # model already trained on.
+    sample_seed = vcfg.seed + int(state.step)
+    sampler = (PairedSegmentSampler(cfg, pairs, seed=sample_seed) if paired
+               else SegmentSampler(cfg, wavs, seed=sample_seed))
     step_fn = (make_vocoder_multi_step(cfg, spc, paired=paired) if spc > 1
                else make_vocoder_train_step(cfg, paired=paired))
+    # Periodic copy-synthesis validation (val_step): fixed batches from a
+    # run-independent seed so the metric is comparable across runs/resumes.
+    val_fn = make_vocoder_val_step(cfg, paired=paired)
+    val_sampler = (PairedSegmentSampler(cfg, pairs, seed=vcfg.seed + 999983)
+                   if paired
+                   else SegmentSampler(cfg, wavs, seed=vcfg.seed + 999983))
+    val_batches = [jax.tree.map(jnp.asarray, val_sampler.sample(
+        vcfg.batch_size)) for _ in range(4)]
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     t0 = time.time()
     step = int(state.step)
@@ -399,7 +478,11 @@ def train_vocoder(cfg: Config, wavs: list[np.ndarray] | None,
                 # Same transient-dispatch retry as the acoustic loop
                 # (train/loop.py _dispatch): remote backends occasionally
                 # reject a dispatch while the async queue is deep; donated
-                # inputs are only consumed by a successful execution.
+                # inputs are only consumed by a successful execution, so
+                # only PRE-execution dispatch failures are recoverable — a
+                # failure after buffer donation re-raises as a
+                # deleted-buffer error and the run falls back to the
+                # checkpoint/restart path (which the GTA run exercised).
                 log(f"transient backend error ({str(e)[:80]}); "
                     "draining queue and retrying once")
                 jax.block_until_ready(state)
@@ -412,6 +495,14 @@ def train_vocoder(cfg: Config, wavs: list[np.ndarray] | None,
                 mf.flush()
                 log(f"voc step {step}: gen {rec['gen_total']:.3f} "
                     f"mel {rec['mel_l1']:.3f} disc {rec['disc']:.3f}")
+            if vcfg.val_step and step % max(vcfg.val_step, spc) < spc:
+                v = float(np.mean([float(val_fn(state.gen, vb))
+                                   for vb in val_batches]))
+                mf.write(json.dumps({"step": step,
+                                     "time": time.time() - t0,
+                                     "val_mel_l1": round(v, 4)}) + "\n")
+                mf.flush()
+                log(f"voc val step {step}: copy-synthesis mel L1 {v:.3f}")
             if step % max(vcfg.save_step, spc) < spc or step >= total:
                 ckpt.save(step, state)
     save_generator_npz(

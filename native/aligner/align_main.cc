@@ -95,9 +95,11 @@ struct Utterance {
   std::string basename;
   std::string wav_path;
   std::vector<std::vector<std::string>> words;  // phones per syllable
+  std::vector<std::string> word_texts;          // original .lab tokens
   // Filled during processing:
   FeatureMatrix feats;
   std::vector<Segment> segments;
+  std::vector<int> seg_word;  // segment index → word index (-1: sil/sp)
   float duration_s = 0.0f;
 };
 
@@ -159,10 +161,14 @@ std::vector<Utterance> ScanCorpus(const std::string& corpus,
         }
         if (it != lexicon.end()) {
           u.words.push_back(it->second);
+          u.word_texts.push_back(syl);
           continue;
         }
         auto ph = PinyinToPhonemes(syl);
-        if (!ph.empty()) u.words.push_back(ph);
+        if (!ph.empty()) {
+          u.words.push_back(ph);
+          u.word_texts.push_back(syl);
+        }
       }
       if (!u.words.empty()) utts.push_back(std::move(u));
     }
@@ -175,13 +181,21 @@ void BuildSegments(AcousticModel* model, Utterance* u) {
   int sil = model->AddPhone("sil");
   int sp = model->AddPhone("sp");
   u->segments.clear();
+  u->seg_word.clear();
   u->segments.push_back({sil, true});
+  u->seg_word.push_back(-1);
   for (size_t w = 0; w < u->words.size(); ++w) {
-    if (w > 0) u->segments.push_back({sp, true});
-    for (const auto& p : u->words[w])
+    if (w > 0) {
+      u->segments.push_back({sp, true});
+      u->seg_word.push_back(-1);
+    }
+    for (const auto& p : u->words[w]) {
       u->segments.push_back({model->AddPhone(p), false});
+      u->seg_word.push_back(int(w));
+    }
   }
   u->segments.push_back({sil, true});
+  u->seg_word.push_back(-1);
 }
 
 void ParallelFor(int n, int threads, const std::function<void(int, int)>& fn) {
@@ -201,36 +215,69 @@ void WriteTextGridFile(const std::string& path, const Utterance& u,
                        float frame_shift_s) {
   std::ofstream out(path);
   float xmax = u.duration_s;
-  int n = 0;
+  // Two tiers, words then phones, like MFA's export
+  // (MFA/montreal_forced_aligner/textgrid.py:344-361); downstream TTS
+  // consumers read only "phones" (reference preprocessor.py:239), the
+  // words tier is the user-facing artifact parity.
+  struct Iv { float s, e; std::string t; };
+  auto tile = [&](std::vector<Iv> raw) {
+    // Fill gaps with "" intervals so the tier tiles [0, xmax].
+    std::vector<Iv> ivs;
+    float pos = 0.0f;
+    for (const auto& r : raw) {
+      if (r.e <= r.s) continue;
+      float a = r.s, b = std::min(r.e, xmax);
+      if (a > pos + 1e-4f) ivs.push_back({pos, a, ""});
+      ivs.push_back({a, b, r.t});
+      pos = b;
+    }
+    if (pos < xmax - 1e-4f) ivs.push_back({pos, xmax, ""});
+    if (!ivs.empty()) ivs.back().e = xmax;
+    return ivs;
+  };
+
+  std::vector<Iv> phone_raw;
   for (const auto& s : segs)
-    if (s.end_frame > s.start_frame) ++n;
+    phone_raw.push_back({s.start_frame * frame_shift_s,
+                         s.end_frame * frame_shift_s,
+                         model.phones[s.phone]});
+  // Word spans: union of each word's (mandatory, hence non-empty) phone
+  // segments; segs is positionally 1:1 with u.segments/u.seg_word.
+  std::vector<Iv> word_raw;
+  int prev_w = -1;
+  for (size_t i = 0; i < segs.size() && i < u.seg_word.size(); ++i) {
+    int w = u.seg_word[i];
+    if (w < 0 || segs[i].end_frame <= segs[i].start_frame) continue;
+    float a = segs[i].start_frame * frame_shift_s;
+    float b = segs[i].end_frame * frame_shift_s;
+    if (w == prev_w) {
+      word_raw.back().e = b;  // extend the current word's span
+    } else {
+      word_raw.push_back(
+          {a, b, w < int(u.word_texts.size()) ? u.word_texts[w] : ""});
+      prev_w = w;
+    }
+  }
+
+  auto write_tier = [&](int idx, const char* name,
+                        const std::vector<Iv>& ivs) {
+    out << "    item [" << idx << "]:\n        class = \"IntervalTier\"\n";
+    out << "        name = \"" << name << "\"\n        xmin = 0.000000\n";
+    out << "        xmax = " << xmax << "\n";
+    out << "        intervals: size = " << ivs.size() << "\n";
+    for (size_t i = 0; i < ivs.size(); ++i) {
+      out << "        intervals [" << (i + 1) << "]:\n";
+      out << "            xmin = " << ivs[i].s << "\n";
+      out << "            xmax = " << ivs[i].e << "\n";
+      out << "            text = \"" << ivs[i].t << "\"\n";
+    }
+  };
+
   out << "File type = \"ooTextFile\"\nObject class = \"TextGrid\"\n\n";
   out << "xmin = 0.000000\nxmax = " << xmax << "\n";
-  out << "tiers? <exists>\nsize = 1\nitem []:\n";
-  out << "    item [1]:\n        class = \"IntervalTier\"\n";
-  out << "        name = \"phones\"\n        xmin = 0.000000\n";
-  out << "        xmax = " << xmax << "\n";
-  // Fill gaps with "" intervals so the tier tiles [0, xmax].
-  struct Iv { float s, e; std::string t; };
-  std::vector<Iv> ivs;
-  float pos = 0.0f;
-  for (const auto& s : segs) {
-    if (s.end_frame <= s.start_frame) continue;
-    float a = s.start_frame * frame_shift_s;
-    float b = std::min(s.end_frame * frame_shift_s, xmax);
-    if (a > pos + 1e-4f) ivs.push_back({pos, a, ""});
-    ivs.push_back({a, b, model.phones[s.phone]});
-    pos = b;
-  }
-  if (pos < xmax - 1e-4f) ivs.push_back({pos, xmax, ""});
-  if (!ivs.empty()) ivs.back().e = xmax;
-  out << "        intervals: size = " << ivs.size() << "\n";
-  for (size_t i = 0; i < ivs.size(); ++i) {
-    out << "        intervals [" << (i + 1) << "]:\n";
-    out << "            xmin = " << ivs[i].s << "\n";
-    out << "            xmax = " << ivs[i].e << "\n";
-    out << "            text = \"" << ivs[i].t << "\"\n";
-  }
+  out << "tiers? <exists>\nsize = 2\nitem []:\n";
+  write_tier(1, "words", tile(std::move(word_raw)));
+  write_tier(2, "phones", tile(std::move(phone_raw)));
 }
 
 int Run(int argc, char** argv) {

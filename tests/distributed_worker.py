@@ -125,6 +125,21 @@ def main() -> None:
         step_fn = make_train_step(model, tx, cfg)
         eval_step = make_eval_step(model, cfg)
 
+        # Per-host feed rate (host-side pipeline alone: iterate + collate,
+        # no device work) + the exact rows this host serves — the
+        # feed-rate guard: a pod starves when global-batch × target
+        # steps/s exceeds Σ per-host feed rates (PERF.md "Feeding the
+        # chip"); rows must tile the global batch disjointly.
+        import time
+
+        rows = train_ds.host_rows(0)
+        n_fed = 0
+        t0 = time.perf_counter()
+        for ep in range(2):
+            for b in train_ds.epoch(ep):
+                n_fed += b["speakers"].shape[0]
+        feed_rate = n_fed / (time.perf_counter() - t0)
+
         # Collective evaluate at the initial (bit-identical) params: a
         # deterministic cross-topology anchor, unlike post-Adam params.
         eval0 = evaluate(eval_step, state, val_ds, mesh)
@@ -150,6 +165,8 @@ def main() -> None:
             "eval0": eval0,
             "eval": evals,
             "param_sum": param_sum(state.params),
+            "host_rows": rows,
+            "feed_samples_per_s": feed_rate,
         }
 
     with open(args.out, "w") as f:

@@ -73,6 +73,16 @@ def test_native_aligner_end_to_end(tmp_path):
         assert [p for p, _, _ in pred] == [p for p, _, _ in bounds]
         for (_, ta, tb), (_, pa, pb) in zip(bounds, pred):
             errs += [abs(ta - pa), abs(tb - pb)]
+        # MFA-parity words tier (MFA textgrid.py:344-361): one interval
+        # per .lab word, spanning exactly the union of its phone spans.
+        words = tg.get_tier_by_name("words")
+        labeled = [(iv.text, iv.start, iv.end) for iv in words.intervals
+                   if iv.text.strip()]
+        assert [w for w, _, _ in labeled] == ["ban", "hao"]
+        assert abs(labeled[0][1] - pred[0][1]) < 1e-6
+        assert abs(labeled[0][2] - pred[2][2]) < 1e-6
+        assert abs(labeled[1][1] - pred[3][1]) < 1e-6
+        assert abs(labeled[1][2] - pred[4][2]) < 1e-6
     mean_err = float(np.mean(errs))
     assert mean_err < 0.04, f"mean boundary error {mean_err*1000:.1f}ms"
 

@@ -45,8 +45,14 @@ def ref_setup(tmp_path_factory):
     ref_model = RefFastSpeech2(pre_d, model_d).eval()
 
     stats = {"pitch": [-1.9, 9.5, 0.0, 1.0], "energy": [-1.5, 8.2, 0.0, 1.0]}
+    # padding_inert=False: these tests feed PADDED batches to the torch
+    # oracle, so the JAX side must replicate the reference's padded-batch
+    # conv-edge behavior exactly (the default True matches the reference's
+    # UNPADDED single-utterance inference instead — tests/test_parity_drill
+    # + tests/test_padding_inert cover that side).
     model_cfg = model_config_from_dict(
-        model_d, n_speakers=10, n_emotions=5, n_arousals=4, n_valences=5)
+        model_d, n_speakers=10, n_emotions=5, n_arousals=4, n_valences=5,
+        padding_inert=False)
     pre_cfg = preprocess_config_from_dict(pre_d)
     jax_model = FastSpeech2(model_cfg, pre_cfg, stats)
     params, state, consts = convert_fastspeech2(
