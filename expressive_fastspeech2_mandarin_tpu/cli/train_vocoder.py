@@ -40,9 +40,21 @@ def main() -> None:
     ap.add_argument("--paired_gt", action="store_true",
                     help="paired mode on the preprocessed GT mels "
                          "(ablation baseline for --gta)")
+    ap.add_argument("--no-packed-generator", action="store_true",
+                    help="disable the packed training generator (the "
+                         "measured 1.16x step win, PERF.md 'Vocoder GAN "
+                         "step'); packed is the CLI default, numerics "
+                         "differ from plain only by float round-off")
     args = ap.parse_args()
 
     cfg = config_from_args(args)
+    if not args.no_packed_generator and not cfg.vocoder_train.packed_generator:
+        # Production default for the CLI; the dataclass default stays False
+        # so torch-oracle parity tests replicate the plain recipe exactly.
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, vocoder_train=dataclasses.replace(
+            cfg.vocoder_train, packed_generator=True))
     wav_dir = args.wav_dir or cfg.preprocess.path.raw_path
     if not wav_dir or not os.path.isdir(wav_dir):
         ap.error(f"--wav_dir not found: {wav_dir!r}")

@@ -459,6 +459,7 @@ def vocoder_train_config_from_dict(d: dict[str, Any],
         msd_scales=d.get("msd_scales", 3),
         seed=d.get("seed", 1234),
         amp_dtype=d.get("amp_dtype", "float32"),
+        packed_generator=d.get("packed_generator", False),
         steps_per_call=d.get("steps_per_call", 1),
         total_step=d.get("total_step", 400000),
         log_step=d.get("log_step", 100),

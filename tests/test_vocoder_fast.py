@@ -48,6 +48,40 @@ def test_packed_generator_parity():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_traced_packer_matches_numpy_packer():
+    """pack_generator_params_traced (used INSIDE the jitted vocoder train
+    step, vocoder_train.packed_generator) must produce bit-identical
+    layouts to the load-time numpy packer."""
+    from expressive_fastspeech2_mandarin_tpu.models.hifigan import (
+        pack_generator_params_traced,
+    )
+
+    cfg = VocoderConfig()
+    voc = init_generator(jax.random.PRNGKey(4), cfg)
+    ref = pack_generator_params(voc, cfg)
+    traced = jax.jit(lambda p: pack_generator_params_traced(p, cfg))(voc)
+
+    def cmp(a, b, path=""):
+        if isinstance(a, dict):
+            for k in b:
+                if k in a:
+                    cmp(a[k], b[k], f"{path}/{k}")
+        elif isinstance(a, list):
+            for i, (x, y) in enumerate(zip(a, b)):
+                cmp(x, y, f"{path}[{i}]")
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
+
+    cmp(ref, traced)
+    mel = jnp.asarray(
+        np.random.default_rng(5).normal(size=(1, 16, 80)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(apply_generator(traced, mel, cfg, fast=True)),
+        np.asarray(apply_generator(voc, mel, cfg, fast=False)),
+        rtol=1e-4, atol=1e-5)
+
+
 def test_phase_split_is_opt_in_and_default_off():
     """Round-2 regression guard: _conv_phase_split is 1.75x SLOWER end-to-end
     on the real chip (104.2 vs 59.6 ms full generator, PERF.md), so
