@@ -92,10 +92,21 @@ def _launch_train() -> subprocess.Popen:
 def stage_train(kill_at: int, out_dir: str) -> dict:
     """Train to 900k with one scripted SIGKILL at ``kill_at`` steps."""
     event: dict = {"kill_at_requested": kill_at}
+    prior = os.path.join(out_dir, "resume_event.json")
     if _last_step() >= kill_at:
-        event["skipped"] = "already past kill point (resumed driver)"
+        # Resumed driver: keep any previously recorded kill/resume events.
+        if os.path.exists(prior):
+            with open(prior) as f:
+                event = {**json.load(f), **event}
+        event["driver_resumed_past_kill_point"] = True
         proc = _launch_train()
         proc.wait()
+        if proc.returncode != 0:
+            raise RuntimeError(f"training exited rc={proc.returncode}")
+        event["final_step"] = _last_step()
+        os.makedirs(out_dir, exist_ok=True)
+        with open(prior, "w") as f:
+            json.dump(event, f, indent=1)
         return event
 
     proc = _launch_train()
